@@ -1,0 +1,429 @@
+"""Functional JAX Whisper encoder-decoder over explicit param pytrees.
+
+Capability parity with the reference's model layer (HF
+`WhisperForConditionalGeneration`, loaded at
+finetune/training/models/whisper_models.py:79-113), re-designed TPU-first:
+
+- Params are a plain pytree; per-layer weights are STACKED along a leading
+  axis and the layer loop is a `lax.scan`, so compile time is O(1) in depth
+  (32 layers for large-v3) and XLA sees one fused layer body.
+- All matmuls run in a configurable compute dtype (bf16 on TPU) with fp32
+  layernorm statistics and fp32 master params kept by the optimizer.
+- LoRA / AdaLoRA adapters are a parallel pytree threaded through the same
+  scan (training/lora.py builds them); "frozen base" simply means the base
+  tree is not in the grad argnums — no autograd hooks needed (the reference
+  needs a conv1 forward hook for this, trainers.py:510-515).
+- Incremental decoding uses a preallocated KV cache updated with
+  `lax.dynamic_update_slice` inside the layer scan (evaluation/decode.py).
+
+Weight import from HF checkpoints: models/convert_hf.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import WhisperConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# initialization
+# ---------------------------------------------------------------------------
+
+def sinusoidal_positions(length: int, channels: int) -> np.ndarray:
+    """Whisper's fixed sinusoid table (sin | cos concatenated on channels)."""
+    assert channels % 2 == 0
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+def _dense_init(key, d_in, d_out, layers=None):
+    shape = (d_in, d_out) if layers is None else (layers, d_in, d_out)
+    scale = 1.0 / np.sqrt(d_in)
+    return jax.random.uniform(key, shape, jnp.float32, -scale, scale)
+
+
+def _zeros(*shape):
+    return jnp.zeros(shape, jnp.float32)
+
+
+def _ones(*shape):
+    return jnp.ones(shape, jnp.float32)
+
+
+def _init_attn(key, L, d, heads):
+    ks = jax.random.split(key, 4)
+    return {
+        "q": {"w": _dense_init(ks[0], d, d, L), "b": _zeros(L, d)},
+        "k": {"w": _dense_init(ks[1], d, d, L)},  # no bias, as in Whisper
+        "v": {"w": _dense_init(ks[2], d, d, L), "b": _zeros(L, d)},
+        "o": {"w": _dense_init(ks[3], d, d, L), "b": _zeros(L, d)},
+    }
+
+
+def _init_mlp(key, L, d, ff):
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": {"w": _dense_init(k1, d, ff, L), "b": _zeros(L, ff)},
+        "fc2": {"w": _dense_init(k2, ff, d, L), "b": _zeros(L, d)},
+    }
+
+
+def _init_ln(L, d):
+    if L is None:
+        return {"scale": _ones(d), "bias": _zeros(d)}
+    return {"scale": _ones(L, d), "bias": _zeros(L, d)}
+
+
+def init_params(rng: jax.Array, cfg: WhisperConfig) -> Params:
+    """Random init matching Whisper's layout (for tests and from-scratch runs)."""
+    k_enc, k_dec, k_conv1, k_conv2, k_embed = jax.random.split(rng, 5)
+    L_e, L_d, d, ff = cfg.encoder_layers, cfg.decoder_layers, cfg.d_model, cfg.d_ff
+
+    ke1, ke2 = jax.random.split(k_enc)
+    encoder = {
+        "conv1": {"w": _dense_init(k_conv1, cfg.num_mel_bins * 3, d).reshape(3, cfg.num_mel_bins, d),
+                  "b": _zeros(d)},
+        "conv2": {"w": _dense_init(k_conv2, d * 3, d).reshape(3, d, d), "b": _zeros(d)},
+        "layers": {
+            "ln1": _init_ln(L_e, d),
+            "attn": _init_attn(ke1, L_e, d, cfg.encoder_heads),
+            "ln2": _init_ln(L_e, d),
+            "mlp": _init_mlp(ke2, L_e, d, ff),
+        },
+        "ln_post": _init_ln(None, d),
+    }
+
+    kd1, kd2, kd3 = jax.random.split(k_dec, 3)
+    decoder = {
+        "embed": jax.random.normal(k_embed, (cfg.vocab_size, d), jnp.float32) * 0.02,
+        "pos": jax.random.normal(jax.random.fold_in(k_embed, 1),
+                                 (cfg.max_target_positions, d), jnp.float32) * 0.02,
+        "layers": {
+            "ln1": _init_ln(L_d, d),
+            "self_attn": _init_attn(kd1, L_d, d, cfg.decoder_heads),
+            "ln2": _init_ln(L_d, d),
+            "cross_attn": _init_attn(kd2, L_d, d, cfg.decoder_heads),
+            "ln3": _init_ln(L_d, d),
+            "mlp": _init_mlp(kd3, L_d, d, ff),
+        },
+        "ln_post": _init_ln(None, d),
+    }
+    return {
+        "encoder": encoder,
+        "decoder": decoder,
+        # fixed sinusoids; stored so HF-imported tables round-trip exactly
+        "encoder_pos": jnp.asarray(sinusoidal_positions(cfg.max_source_positions, d)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def _pet(dtype) -> jnp.dtype:
+    """Accumulation dtype for matmuls: fp32, unless already wider (x64 tests)."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
+def layer_norm(x: jax.Array, ln: Params, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm with fp32 statistics regardless of compute dtype."""
+    dtype = x.dtype
+    acc = _pet(dtype)
+    x32 = x.astype(acc)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * ln["scale"].astype(acc) + ln["bias"].astype(acc)
+    return y.astype(dtype)
+
+
+def dense(x: jax.Array, p: Params, lora: Optional[Params] = None) -> jax.Array:
+    """x @ W (+ b) with an optional low-rank adapter delta.
+
+    Adapter format (see training/lora.py): {"a": (d_in, r), "e": (r,),
+    "b": (r, d_out), "scaling": ()} computing scaling * ((x@a)*e) @ b —
+    plain LoRA with e == 1, AdaLoRA's SVD form otherwise.
+    """
+    w = p["w"].astype(x.dtype)
+    y = x @ w
+    if lora is not None:
+        a = lora["a"].astype(x.dtype)
+        b = lora["b"].astype(x.dtype)
+        e = lora["e"].astype(x.dtype)
+        y = y + ((x @ a) * e) @ b * lora["scaling"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _split_heads(x: jax.Array, heads: int) -> jax.Array:
+    b, t, d = x.shape
+    return x.reshape(b, t, heads, d // heads)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, t, h, hd = x.shape
+    return x.reshape(b, t, h * hd)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array,
+              mask: Optional[jax.Array] = None) -> jax.Array:
+    """Softmax attention over (B, T, H, hd) tensors; softmax in fp32."""
+    hd = q.shape[-1]
+    scale = hd ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                        preferred_element_type=_pet(q.dtype))
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+    probs = jax.nn.softmax(logits.astype(_pet(q.dtype)), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def mha(x: jax.Array, kv_src: jax.Array, p: Params, heads: int,
+        mask: Optional[jax.Array] = None,
+        lora: Optional[Params] = None) -> jax.Array:
+    """Full (non-incremental) multi-head attention."""
+    lq = lora.get("q") if lora else None
+    lv = lora.get("v") if lora else None
+    q = _split_heads(dense(x, p["q"], lq), heads)
+    k = _split_heads(dense(kv_src, p["k"]), heads)
+    v = _split_heads(dense(kv_src, p["v"], lv), heads)
+    out = attention(q, k, v, mask)
+    return dense(_merge_heads(out), p["o"])
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def mlp_block(x: jax.Array, p: Params) -> jax.Array:
+    return dense(_gelu(dense(x, p["fc1"])), p["fc2"])
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Array:
+    """(B, T, C) conv with SAME-style padding 1, kernel 3."""
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(stride,), padding=[(1, 1)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=_pet(x.dtype))
+    return (y + b.astype(y.dtype)).astype(x.dtype)
+
+
+def encode(params: Params, mel: jax.Array, cfg: WhisperConfig,
+           adapters: Optional[Params] = None,
+           compute_dtype: jnp.dtype = jnp.bfloat16,
+           remat: bool = False) -> jax.Array:
+    """mel (B, frames, n_mels) → encoder states (B, frames//2, d_model)."""
+    enc = params["encoder"]
+    x = mel.astype(compute_dtype)
+    x = _gelu(_conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"], 1))
+    x = _gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2))
+    pos = params["encoder_pos"][: x.shape[1]].astype(compute_dtype)
+    x = x + pos[None]
+
+    enc_adapters = adapters.get("encoder") if adapters else None
+
+    def layer(x, xs):
+        lp, la = xs
+        h = layer_norm(x, lp["ln1"])
+        x = x + mha(h, h, lp["attn"], cfg.encoder_heads, lora=la)
+        h = layer_norm(x, lp["ln2"])
+        x = x + mlp_block(h, lp["mlp"])
+        return x, None
+
+    body = jax.checkpoint(layer) if remat else layer
+    xs = (enc["layers"], enc_adapters)
+    if enc_adapters is None:
+        # scan can't mix None xs with real ones; use a two-arg closure instead
+        body2 = (lambda c, lp: body(c, (lp, None)))
+        x, _ = jax.lax.scan(body2, x, enc["layers"])
+    else:
+        x, _ = jax.lax.scan(body, x, xs)
+    return layer_norm(x, enc["ln_post"])
+
+
+# ---------------------------------------------------------------------------
+# decoder (teacher-forced / full sequence)
+# ---------------------------------------------------------------------------
+
+def decode_train(params: Params, tokens: jax.Array, enc_out: jax.Array,
+                 cfg: WhisperConfig, adapters: Optional[Params] = None,
+                 compute_dtype: jnp.dtype = jnp.bfloat16,
+                 remat: bool = False) -> jax.Array:
+    """Teacher-forced decode: tokens (B, T) → logits (B, T, vocab)."""
+    dec = params["decoder"]
+    B, T = tokens.shape
+    x = dec["embed"].astype(compute_dtype)[tokens]
+    x = x + dec["pos"][:T].astype(compute_dtype)[None]
+
+    causal = jnp.tril(jnp.ones((T, T), bool))[None, None]
+    dec_adapters = adapters.get("decoder") if adapters else None
+
+    def layer(x, xs):
+        lp, la = xs
+        sa_l = la.get("self_attn") if la else None
+        ca_l = la.get("cross_attn") if la else None
+        h = layer_norm(x, lp["ln1"])
+        x = x + mha(h, h, lp["self_attn"], cfg.decoder_heads, causal, lora=sa_l)
+        h = layer_norm(x, lp["ln2"])
+        x = x + mha(h, enc_out, lp["cross_attn"], cfg.decoder_heads, lora=ca_l)
+        h = layer_norm(x, lp["ln3"])
+        x = x + mlp_block(h, lp["mlp"])
+        return x, None
+
+    body = jax.checkpoint(layer) if remat else layer
+    if dec_adapters is None:
+        body2 = (lambda c, lp: body(c, (lp, None)))
+        x, _ = jax.lax.scan(body2, x, dec["layers"])
+    else:
+        x, _ = jax.lax.scan(body, x, (dec["layers"], dec_adapters))
+
+    x = layer_norm(x, dec["ln_post"])
+    # tied output projection; logits in fp32 for a stable softmax/loss
+    logits = jnp.einsum("btd,vd->btv", x, dec["embed"].astype(compute_dtype),
+                        preferred_element_type=_pet(compute_dtype))
+    return logits
+
+
+def forward(params: Params, mel: jax.Array, tokens: jax.Array,
+            cfg: WhisperConfig, adapters: Optional[Params] = None,
+            compute_dtype: jnp.dtype = jnp.bfloat16,
+            remat: bool = False) -> jax.Array:
+    """Full teacher-forced forward: (mel, decoder_input_ids) → logits."""
+    enc_out = encode(params, mel, cfg, adapters, compute_dtype, remat)
+    return decode_train(params, tokens, enc_out, cfg, adapters, compute_dtype, remat)
+
+
+# ---------------------------------------------------------------------------
+# incremental decoding with KV cache (used by evaluation/decode.py)
+# ---------------------------------------------------------------------------
+
+def init_cache(cfg: WhisperConfig, batch: int, max_len: int,
+               dtype: jnp.dtype = jnp.bfloat16) -> Params:
+    L, H, hd = cfg.decoder_layers, cfg.decoder_heads, cfg.d_model // cfg.decoder_heads
+    shape = (L, batch, max_len, H, hd)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def precompute_cross_kv(params: Params, enc_out: jax.Array, cfg: WhisperConfig,
+                        adapters: Optional[Params] = None) -> Params:
+    """Cross-attention K/V once per utterance: (L, B, S, H, hd) each."""
+    dec_adapters = adapters.get("decoder") if adapters else None
+
+    def layer(_, xs):
+        lp, la = xs
+        ca_l = la.get("cross_attn") if la else None
+        lv = ca_l.get("v") if ca_l else None
+        k = _split_heads(dense(enc_out, lp["cross_attn"]["k"]), cfg.decoder_heads)
+        v = _split_heads(dense(enc_out, lp["cross_attn"]["v"], lv), cfg.decoder_heads)
+        return None, {"k": k, "v": v}
+
+    layers = params["decoder"]["layers"]
+    if dec_adapters is None:
+        _, kv = jax.lax.scan(lambda c, lp: layer(c, (lp, None)), None, layers)
+    else:
+        _, kv = jax.lax.scan(layer, None, (layers, dec_adapters))
+    return kv
+
+
+def decode_step(params: Params, token: jax.Array, pos: jax.Array,
+                cache: Params, cross_kv: Params, cfg: WhisperConfig,
+                adapters: Optional[Params] = None,
+                compute_dtype: jnp.dtype = jnp.bfloat16) -> Tuple[jax.Array, Params]:
+    """One autoregressive step.
+
+    token (B,) int32, pos () int32 current position; returns
+    (logits (B, vocab) fp32, updated cache).
+    """
+    dec = params["decoder"]
+    B = token.shape[0]
+    x = dec["embed"].astype(compute_dtype)[token][:, None, :]  # (B, 1, d)
+    x = x + jax.lax.dynamic_slice_in_dim(dec["pos"], pos, 1, 0).astype(compute_dtype)[None]
+
+    max_len = cache["k"].shape[2]
+    # positions 0..pos are valid
+    valid = (jnp.arange(max_len) <= pos)[None, None, None, :]  # (1,1,1,maxT)
+    dec_adapters = adapters.get("decoder") if adapters else None
+
+    def layer(x, xs):
+        lp, la, ck, cv, xk, xv = xs
+        sa_l = la.get("self_attn") if la else None
+        ca_l = la.get("cross_attn") if la else None
+        lq = sa_l.get("q") if sa_l else None
+        lv_ = sa_l.get("v") if sa_l else None
+
+        h = layer_norm(x, lp["ln1"])
+        q = _split_heads(dense(h, lp["self_attn"]["q"], lq), cfg.decoder_heads)
+        k_new = _split_heads(dense(h, lp["self_attn"]["k"]), cfg.decoder_heads)
+        v_new = _split_heads(dense(h, lp["self_attn"]["v"], lv_), cfg.decoder_heads)
+        zero = jnp.zeros((), pos.dtype)
+        ck = jax.lax.dynamic_update_slice(ck, k_new.astype(ck.dtype), (zero, pos, zero, zero))
+        cv = jax.lax.dynamic_update_slice(cv, v_new.astype(cv.dtype), (zero, pos, zero, zero))
+        attn_out = attention(q, ck.astype(x.dtype), cv.astype(x.dtype), valid)
+        x = x + dense(_merge_heads(attn_out), lp["self_attn"]["o"])
+
+        h = layer_norm(x, lp["ln2"])
+        cq = ca_l.get("q") if ca_l else None
+        q2 = _split_heads(dense(h, lp["cross_attn"]["q"], cq), cfg.decoder_heads)
+        attn2 = attention(q2, xk.astype(x.dtype), xv.astype(x.dtype))
+        x = x + dense(_merge_heads(attn2), lp["cross_attn"]["o"])
+
+        h = layer_norm(x, lp["ln3"])
+        x = x + mlp_block(h, lp["mlp"])
+        return x, (ck, cv)
+
+    layers = dec["layers"]
+    if dec_adapters is None:
+        xs = (layers, cache["k"], cache["v"], cross_kv["k"], cross_kv["v"])
+        body = lambda c, t: layer(c, (t[0], None, t[1], t[2], t[3], t[4]))
+    else:
+        xs = (layers, dec_adapters, cache["k"], cache["v"], cross_kv["k"], cross_kv["v"])
+        body = layer
+    x, (new_k, new_v) = jax.lax.scan(body, x, xs)
+
+    x = layer_norm(x, dec["ln_post"])
+    logits = jnp.einsum("btd,vd->btv", x, dec["embed"].astype(compute_dtype),
+                        preferred_element_type=_pet(compute_dtype))[:, 0, :]
+    return logits, {"k": new_k, "v": new_v}
+
+
+# ---------------------------------------------------------------------------
+# loss
+# ---------------------------------------------------------------------------
+
+IGNORE_ID = -100  # label positions to ignore, matching the reference's collator
+                  # masking (datasets_and_collators.py:452-455)
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array,
+                  label_smoothing: float = 0.0) -> Tuple[jax.Array, jax.Array]:
+    """Mean token cross-entropy over labels != IGNORE_ID.
+
+    Returns (loss, num_tokens). Matches HF Seq2SeqTrainer's CE-with-ignore
+    semantics (reference trains through WhisperForConditionalGeneration's
+    built-in loss).
+    """
+    vocab = logits.shape[-1]
+    mask = labels != IGNORE_ID
+    safe_labels = jnp.where(mask, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(_pet(logits.dtype)), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        smooth = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    nll = jnp.where(mask, nll, 0.0)
+    n = jnp.maximum(mask.sum(), 1)
+    return nll.sum() / n, n
