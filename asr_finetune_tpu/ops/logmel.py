@@ -1,0 +1,159 @@
+"""On-device Whisper log-mel frontend (JAX reference implementation).
+
+The reference computes log-mel features on HOST CPU inside its streaming
+collator (`WhisperFeatureExtractor`, called at
+finetune/training/data_and_collator/datasets_and_collators.py:192-195) — the
+documented bottleneck that forced its Parquet pre-materialization pipeline
+(finetune/prepare_dataset/materialize_dataset.py). Here the frontend runs
+ON-DEVICE: framing + windowed real DFT + mel projection are expressed as two
+dense matmuls (400→201 DFT, 201→n_mels mel), which XLA tiles onto the MXU.
+Raw int16/float32 audio streams host→HBM (≈60 KB/s/utterance instead of
+1.5 MB of fp32 mel), and materialization becomes optional instead of
+load-bearing.
+
+Numerics match `WhisperFeatureExtractor` exactly (see tests/test_logmel.py):
+hann(400) window, hop 160, center/reflect padding, power spectrum, slaney
+mel filter bank, log10 with 1e-10 clamp, (max-8) floor, (x+4)/4 scaling.
+
+A fused Pallas kernel for the same computation lives in ops/logmel_pallas.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_RATE = 16_000
+N_FFT = 400
+HOP = 160
+CHUNK_SAMPLES = 30 * SAMPLE_RATE  # 480_000
+NUM_FRAMES = CHUNK_SAMPLES // HOP  # 3000
+
+
+def hz_to_mel_slaney(freq: np.ndarray) -> np.ndarray:
+    freq = np.asarray(freq, dtype=np.float64)
+    min_log_hz = 1000.0
+    min_log_mel = 15.0
+    logstep = 27.0 / np.log(6.4)
+    mels = 3.0 * freq / 200.0
+    return np.where(freq >= min_log_hz,
+                    min_log_mel + np.log(np.maximum(freq, min_log_hz) / min_log_hz) * logstep,
+                    mels)
+
+
+def mel_to_hz_slaney(mels: np.ndarray) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    min_log_hz = 1000.0
+    min_log_mel = 15.0
+    logstep = np.log(6.4) / 27.0
+    freq = 200.0 * mels / 3.0
+    return np.where(mels >= min_log_mel,
+                    min_log_hz * np.exp(logstep * (mels - min_log_mel)),
+                    freq)
+
+
+def mel_filter_bank(n_freqs: int = N_FFT // 2 + 1, n_mels: int = 80,
+                    fmin: float = 0.0, fmax: float = 8000.0,
+                    sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """Slaney-scale, slaney-normalized triangular filters, (n_freqs, n_mels).
+
+    Matches transformers.audio_utils.mel_filter_bank(norm="slaney",
+    mel_scale="slaney") — the filters WhisperFeatureExtractor uses.
+    """
+    fft_freqs = np.linspace(0, sample_rate / 2, n_freqs)
+    mel_pts = np.linspace(hz_to_mel_slaney(fmin), hz_to_mel_slaney(fmax), n_mels + 2)
+    filter_freqs = mel_to_hz_slaney(mel_pts)
+
+    fdiff = np.diff(filter_freqs)
+    slopes = filter_freqs[None, :] - fft_freqs[:, None]  # (n_freqs, n_mels+2)
+    down = -slopes[:, :-2] / fdiff[None, :-1]
+    up = slopes[:, 2:] / fdiff[None, 1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+
+    enorm = 2.0 / (filter_freqs[2 : n_mels + 2] - filter_freqs[:n_mels])
+    fb *= enorm[None, :]
+    return fb.astype(np.float32)
+
+
+def hann_window(n: int = N_FFT) -> np.ndarray:
+    """Periodic hann window (torch.hann_window(periodic=True) semantics)."""
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n) / n))).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_mats(n_fft: int) -> tuple:
+    """Windowed real-DFT matrices (n_fft, n_fft//2+1) for cos and -sin."""
+    k = np.arange(n_fft // 2 + 1)
+    t = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(t, k) / n_fft
+    w = hann_window(n_fft)[:, None].astype(np.float64)
+    cos_m = (np.cos(ang) * w).astype(np.float32)
+    sin_m = (-np.sin(ang) * w).astype(np.float32)
+    return cos_m, sin_m
+
+
+@functools.lru_cache(maxsize=8)
+def _mel_mat(n_mels: int) -> np.ndarray:
+    return mel_filter_bank(n_mels=n_mels)
+
+
+def frame_audio(audio: jax.Array, n_frames: int = NUM_FRAMES) -> jax.Array:
+    """(B, samples) → (B, n_frames, N_FFT) with center=True reflect padding."""
+    pad = N_FFT // 2
+    padded = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+    idx = (jnp.arange(n_frames) * HOP)[:, None] + jnp.arange(N_FFT)[None, :]
+    return padded[:, idx]
+
+
+def log_mel_spectrogram(audio: jax.Array, n_mels: int = 80,
+                        global_norm: bool = True) -> jax.Array:
+    """Waveform (B, 480000) float32 → log-mel features (B, 3000, n_mels).
+
+    Output is transposed vs HF's (B, n_mels, 3000) because the model consumes
+    time-major features directly (models/whisper.py encode()).
+    """
+    cos_m, sin_m = _dft_mats(N_FFT)
+    mel_m = _mel_mat(n_mels)
+    frames = frame_audio(audio)  # (B, T, 400)
+    # windowed real DFT as two matmuls → power spectrum (B, T, 201)
+    re = frames @ jnp.asarray(cos_m)
+    im = frames @ jnp.asarray(sin_m)
+    power = re * re + im * im
+    mel = power @ jnp.asarray(mel_m)  # (B, T, n_mels)
+
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    if global_norm:
+        # Whisper clamps to (global max - 8) over ALL frames and mel bins
+        m = jnp.max(log_spec, axis=(1, 2), keepdims=True)
+        log_spec = jnp.maximum(log_spec, m - 8.0)
+    return ((log_spec + 4.0) / 4.0).astype(jnp.float32)
+
+
+def log_mel_np(audio: np.ndarray, n_mels: int = 80) -> np.ndarray:
+    """Host-side float64 reference, (samples,) → (3000, n_mels).
+
+    Bit-comparable to WhisperFeatureExtractor (which computes in float64);
+    used for golden tests and as the host-collator fallback path.
+    """
+    audio = np.asarray(audio, np.float64)
+    pad = N_FFT // 2
+    padded = np.pad(audio, (pad, pad), mode="reflect")
+    idx = (np.arange(NUM_FRAMES) * HOP)[:, None] + np.arange(N_FFT)[None, :]
+    frames = padded[idx] * hann_window(N_FFT).astype(np.float64)
+    spec = np.fft.rfft(frames, n=N_FFT, axis=-1)
+    power = np.abs(spec) ** 2
+    mel = power @ mel_filter_bank(n_mels=n_mels).astype(np.float64)
+    log_spec = np.log10(np.maximum(mel, 1e-10))
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return (((log_spec + 4.0) / 4.0)).astype(np.float32)
+
+
+def pad_or_trim(audio: np.ndarray, length: int = CHUNK_SAMPLES) -> np.ndarray:
+    """Host-side: pad with zeros / truncate to the fixed 30 s window."""
+    if audio.shape[-1] >= length:
+        return audio[..., :length]
+    pad = [(0, 0)] * (audio.ndim - 1) + [(0, length - audio.shape[-1])]
+    return np.pad(audio, pad)
