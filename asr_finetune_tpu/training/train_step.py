@@ -1,0 +1,170 @@
+"""The jitted training step: loss, grads, AdamW update, grad accumulation.
+
+Replaces the reference's HF `Seq2SeqTrainer.training_step` + fp16 autocast +
+DDP allreduce + DeepSpeed engine (trainers.py:725-937, 472-722) with ONE
+compiled XLA program:
+
+- bf16 compute / fp32 master params (vs the reference's fp16 AMP)
+- gradient accumulation via `lax.scan` over microbatches
+  (reference: HF gradient_accumulation_steps, trainers.py:438)
+- DP gradient reduction is implicit: batch sharded over the mesh "data"
+  axis → XLA inserts the psum (reference: NCCL allreduce via DDP)
+- full fine-tune and PEFT (LoRA/AdaLoRA adapters-only grads) in the same
+  step function; frozen base = not differentiated, no autograd hooks
+- optional on-device log-mel: feed raw audio and fuse the frontend into the
+  step (the reference pays host CPU for this, SURVEY.md §3.1 hot loops)
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import whisper as W
+from ..models.configs import WhisperConfig
+from ..ops import logmel as logmel_ops
+from . import lora as lora_lib
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass
+class TrainStepConfig:
+    mode: str = "full"                  # "full" | "peft"
+    accum_steps: int = 1
+    compute_dtype: Any = jnp.bfloat16
+    remat: bool = True
+    label_smoothing: float = 0.0
+    on_device_logmel: bool = False       # batch carries "audio" not "mel"
+    n_mels: int = 80
+    max_steps: int = 10000
+    lora: Optional[lora_lib.LoraConfig] = None
+
+
+def make_train_state(params: Params, tx: optax.GradientTransformation,
+                     adapters: Optional[Params] = None,
+                     adalora: bool = False) -> Dict[str, Any]:
+    trainable = adapters if adapters is not None else params
+    state = {
+        "step": jnp.zeros((), jnp.int32),
+        "params": params,
+        "adapters": adapters,
+        "opt_state": tx.init(trainable),
+    }
+    if adalora and adapters is not None:
+        state["sensitivity"] = lora_lib.init_sensitivity(adapters)
+    return state
+
+
+def _get_mel(batch: Dict[str, jax.Array], cfg: TrainStepConfig) -> jax.Array:
+    if cfg.on_device_logmel:
+        return logmel_ops.log_mel_spectrogram(batch["audio"], n_mels=cfg.n_mels)
+    return batch["mel"]
+
+
+def make_loss_fn(model_cfg: WhisperConfig, cfg: TrainStepConfig):
+    def loss_fn(trainable: Params, frozen: Optional[Params],
+                batch: Dict[str, jax.Array]) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        if cfg.mode == "peft":
+            params, adapters = frozen, trainable
+        else:
+            params, adapters = trainable, None
+        mel = _get_mel(batch, cfg)
+        logits = W.forward(params, mel, batch["decoder_input_ids"], model_cfg,
+                           adapters=adapters, compute_dtype=cfg.compute_dtype,
+                           remat=cfg.remat)
+        loss, n_tok = W.cross_entropy(logits, batch["labels"], cfg.label_smoothing)
+        metrics = {"loss": loss, "tokens": n_tok}
+        if cfg.mode == "peft" and cfg.lora and cfg.lora.adalora \
+                and cfg.lora.orth_reg_weight > 0:
+            reg = lora_lib.orth_regularizer(adapters, cfg.lora.orth_reg_weight)
+            metrics["orth_reg"] = reg
+            loss = loss + reg
+        return loss, metrics
+
+    return loss_fn
+
+
+def make_train_step(model_cfg: WhisperConfig, tx: optax.GradientTransformation,
+                    cfg: TrainStepConfig) -> Callable:
+    """Returns step(state, batch) → (state, metrics).
+
+    For accum_steps > 1, every batch leaf must have leading shape
+    (accum_steps, microbatch, ...); grads are averaged over microbatches.
+    """
+    loss_fn = make_loss_fn(model_cfg, cfg)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def single_grads(trainable, frozen, batch):
+        (loss, metrics), grads = grad_fn(trainable, frozen, batch)
+        return grads, metrics
+
+    def accum_grads(trainable, frozen, batch):
+        def body(carry, microbatch):
+            g_acc, m_acc = carry
+            g, m = single_grads(trainable, frozen, microbatch)
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            m_acc = {k: m_acc[k] + m[k] for k in m_acc}
+            return (g_acc, m_acc), None
+
+        g0 = jax.tree.map(lambda x: jnp.zeros_like(x), trainable)
+        m0 = {"loss": jnp.float32(0.0), "tokens": jnp.int32(0)}
+        if cfg.mode == "peft" and cfg.lora and cfg.lora.adalora \
+                and cfg.lora.orth_reg_weight > 0:
+            m0["orth_reg"] = jnp.float32(0.0)
+        (g, m), _ = jax.lax.scan(body, (g0, m0), batch)
+        inv = 1.0 / cfg.accum_steps
+        g = jax.tree.map(lambda x: x * inv, g)
+        m = {k: (v * inv if v.dtype != jnp.int32 else v) for k, v in m.items()}
+        return g, m
+
+    def step(state: Dict[str, Any], batch: Dict[str, jax.Array]):
+        peft = cfg.mode == "peft"
+        trainable = state["adapters"] if peft else state["params"]
+        frozen = state["params"] if peft else None
+
+        if cfg.accum_steps > 1:
+            grads, metrics = accum_grads(trainable, frozen, batch)
+        else:
+            grads, metrics = single_grads(trainable, frozen, batch)
+
+        updates, new_opt = tx.update(grads, state["opt_state"], trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+
+        new_state = dict(state)
+        new_state["opt_state"] = new_opt
+        new_state["step"] = state["step"] + 1
+        if peft:
+            new_state["adapters"] = new_trainable
+            if cfg.lora and cfg.lora.adalora and "sensitivity" in state:
+                ad, sens = lora_lib.adalora_update_masks(
+                    new_trainable, grads, state["sensitivity"], state["step"],
+                    cfg.max_steps, cfg.lora)
+                new_state["adapters"] = ad
+                new_state["sensitivity"] = sens
+        else:
+            new_state["params"] = new_trainable
+
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_loss_step(model_cfg: WhisperConfig, cfg: TrainStepConfig) -> Callable:
+    """eval step: batch → (loss, num_tokens); jit-friendly."""
+    loss_fn = make_loss_fn(model_cfg, cfg)
+
+    def step(state: Dict[str, Any], batch: Dict[str, jax.Array]):
+        peft = cfg.mode == "peft"
+        trainable = state["adapters"] if peft else state["params"]
+        frozen = state["params"] if peft else None
+        loss, metrics = loss_fn(trainable, frozen, batch)
+        return metrics
+
+    return step

@@ -16,3 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+# the environment's sitecustomize may pre-import jax with a hardware platform
+# pinned (jax_platforms="axon,cpu"); force CPU before any backend initializes
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
