@@ -1,0 +1,109 @@
+"""Decoding parity: greedy token streams match HF generate; beam search
+sanity (K=1 == greedy; beam score ≥ greedy score)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asr_finetune_tpu.evaluation import decode as D
+from asr_finetune_tpu.models import whisper as W
+from asr_finetune_tpu.models.convert_hf import from_hf_state_dict, config_from_hf
+
+MAXLEN = 16
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    import torch
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    hf_cfg = WhisperConfig(
+        vocab_size=120, num_mel_bins=80, d_model=64, encoder_layers=2,
+        decoder_layers=2, encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=256, decoder_ffn_dim=256, max_source_positions=150,
+        max_target_positions=64, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, decoder_start_token_id=3,
+        # disable HF's whisper-specific suppression for a clean comparison
+        suppress_tokens=[], begin_suppress_tokens=[],
+    )
+    torch.manual_seed(0)
+    hf_model = WhisperForConditionalGeneration(hf_cfg).eval()
+    hf_model.generation_config.suppress_tokens = None
+    hf_model.generation_config.begin_suppress_tokens = None
+    hf_model.generation_config.forced_decoder_ids = None
+    # keep a valid (unused) no_timestamps id so HF's whisper generate is happy
+    hf_model.generation_config.no_timestamps_token_id = 110
+    cfg = config_from_hf(hf_cfg)
+    params = from_hf_state_dict(hf_model.state_dict(), cfg)
+    return hf_model, params, cfg
+
+
+def test_greedy_matches_hf_generate(hf_pair):
+    import torch
+
+    hf_model, params, cfg = hf_pair
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((3, 300, cfg.num_mel_bins)).astype(np.float32)
+    forced = [3, 7, 9]  # sot + two forced "prompt" tokens
+
+    with torch.no_grad():
+        # transformers ≥4.5x whisper generate takes the prompt as
+        # decoder_input_ids and returns ONLY the continuation
+        hf_cont = hf_model.generate(
+            input_features=torch.tensor(mel).transpose(1, 2),
+            decoder_input_ids=torch.tensor([forced] * 3),
+            max_length=MAXLEN, do_sample=False, num_beams=1,
+        ).numpy()
+
+    tokens, lengths = D.greedy_decode(
+        params, jnp.asarray(mel), cfg, forced, max_length=MAXLEN,
+        compute_dtype=jnp.float32)
+    tokens = np.asarray(tokens)
+
+    for b in range(3):
+        ours_full = tokens[b]
+        np.testing.assert_array_equal(
+            ours_full[:len(forced)], forced,
+            err_msg=f"row {b}: forced prefix not honored: {ours_full}")
+        ours_cont = ours_full[len(forced):]
+        hf_row = hf_cont[b]
+        n = min(len(hf_row), len(ours_cont))
+        np.testing.assert_array_equal(
+            ours_cont[:n], hf_row[:n],
+            err_msg=f"row {b}: ours {ours_cont[:n]} vs hf {hf_row[:n]}")
+
+
+def test_beam_k1_equals_greedy(hf_pair):
+    _, params, cfg = hf_pair
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal((2, 300, cfg.num_mel_bins)).astype(np.float32))
+    forced = [3, 7]
+    g_tok, g_len = D.greedy_decode(params, mel, cfg, forced, MAXLEN,
+                                   compute_dtype=jnp.float32)
+    b_tok, b_len = D.beam_decode(params, mel, cfg, forced, MAXLEN, num_beams=1,
+                                 compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(g_tok), np.asarray(b_tok))
+
+
+def test_beam_improves_or_matches_sequence_logprob(hf_pair):
+    _, params, cfg = hf_pair
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(rng.standard_normal((2, 300, cfg.num_mel_bins)).astype(np.float32))
+    forced = [3, 7]
+
+    def seq_logprob(tokens, length):
+        enc = W.encode(params, mel, cfg, compute_dtype=jnp.float32)
+        logits = W.decode_train(params, tokens[:, :-1], enc, cfg,
+                                compute_dtype=jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        lp = jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]
+        mask = jnp.arange(lp.shape[1])[None] < (length[:, None] - 1)
+        return np.asarray(jnp.sum(jnp.where(mask, lp, 0.0), axis=1))
+
+    g_tok, g_len = D.greedy_decode(params, mel, cfg, forced, MAXLEN,
+                                   compute_dtype=jnp.float32)
+    b_tok, b_len = D.beam_decode(params, mel, cfg, forced, MAXLEN, num_beams=4,
+                                 compute_dtype=jnp.float32)
+    g_lp = seq_logprob(g_tok, g_len)
+    b_lp = seq_logprob(b_tok, b_len)
+    assert (b_lp >= g_lp - 1e-4).all(), (g_lp, b_lp)

@@ -1,0 +1,89 @@
+"""WER math, normalization, and tokenizer round-trips."""
+import numpy as np
+import pytest
+
+from asr_finetune_tpu.evaluation import wer as wer_lib
+from asr_finetune_tpu.evaluation.normalize import normalize
+from asr_finetune_tpu.models.tokenizer import (
+    BPEWhisperTokenizer, ByteFallbackTokenizer, SpecialTokens, language_index)
+
+
+def test_wer_known_values():
+    # identical → 0
+    assert wer_lib.wer(["der hund läuft"], ["der hund läuft"]) == 0.0
+    # one substitution out of three words
+    assert wer_lib.wer(["der hund läuft"], ["der hund rennt"]) == pytest.approx(1 / 3)
+    # deletion + insertion
+    assert wer_lib.wer(["a b c"], ["a c"]) == pytest.approx(1 / 3)
+    assert wer_lib.wer(["a b"], ["a x b y"]) == pytest.approx(1.0)
+    # corpus aggregation: errors summed over utterances / total ref words
+    assert wer_lib.wer(["a b c", "d e"], ["a b c", "x e"]) == pytest.approx(1 / 5)
+    assert wer_lib.wer_percent(["a b"], ["a c"]) == pytest.approx(50.0)
+
+
+def test_wer_against_jiwer_if_available():
+    jiwer = pytest.importorskip("jiwer")
+    rng = np.random.default_rng(0)
+    vocab = ["der", "die", "das", "hund", "katze", "läuft", "springt", "heute"]
+    refs = [" ".join(rng.choice(vocab, rng.integers(1, 10))) for _ in range(20)]
+    hyps = [" ".join(rng.choice(vocab, rng.integers(1, 10))) for _ in range(20)]
+    assert wer_lib.wer(refs, hyps) == pytest.approx(jiwer.wer(refs, hyps))
+
+
+def test_normalize_matches_reference_semantics():
+    # reference finetune/training/utils.py:72-92: strip, lower, drop !?.,;
+    assert normalize("  Hallo, Welt!  ") == "hallo welt"
+    assert normalize("Wie geht's?") == "wie geht's"  # apostrophe kept
+    assert normalize("a.b;c,d") == "abcd"
+
+
+def test_byte_tokenizer_roundtrip_and_prefix():
+    tok = ByteFallbackTokenizer()
+    text = "hällo wörld"
+    ids = tok.encode(text)
+    assert tok.decode(ids) == text
+    labels = tok.build_labels(text, language="de")
+    sp = tok.special
+    assert labels[0] == sp.sot
+    assert labels[-1] == sp.eot
+    assert labels[1] == sp.language_token("de")
+    assert labels[2] == sp.transcribe
+    # skip_special_tokens strips prefix + eot
+    assert tok.decode(labels) == text
+
+
+def test_special_token_layout_matches_whisper():
+    sp = SpecialTokens()  # multilingual v2 layout
+    assert sp.sot == 50258
+    assert sp.language_token("en") == 50259
+    assert sp.language_token("de") == 50261  # the id the reference hardcodes
+                                             # in dead code (trainers.py:328-334)
+    assert sp.transcribe == 50359
+    sp3 = SpecialTokens.for_vocab(51866)  # large-v3 layout
+    assert sp3.transcribe == 50360
+    assert sp3.timestamp_begin == 50365
+
+
+def test_forced_decoder_ids_format():
+    tok = ByteFallbackTokenizer()
+    fids = tok.forced_decoder_ids(language="de", task="transcribe")
+    # HF format: [(1, lang), (2, task), (3, notimestamps)]
+    assert [p for p, _ in fids] == [1, 2, 3]
+    assert fids[1][1] == tok.special.transcribe
+
+
+def test_bpe_tokenizer_with_synthetic_vocab():
+    # miniature GPT2-style vocab exercising merges + byte mapping
+    from asr_finetune_tpu.models.tokenizer import _bytes_to_unicode
+    b2u = _bytes_to_unicode()
+    base = [b2u[b] for b in range(256)]
+    merged = ["he", "ll", "hell", "llo"]
+    vocab = {t: i for i, t in enumerate(base + merged)}
+    merges = [("h", "e"), ("l", "l"), ("he", "ll"), ("ll", "o")]
+    tok = BPEWhisperTokenizer(vocab, merges, SpecialTokens(
+        eot=300, sot=301, first_language=302, n_languages=2,
+        translate=304, transcribe=305, no_timestamps=306, timestamp_begin=307))
+    ids = tok.encode("hello")
+    assert tok.decode(ids) == "hello"
+    # "hello" → hell + o  (merges applied by rank)
+    assert ids == [vocab["hell"], vocab[b2u[ord("o")]]]
