@@ -1,0 +1,153 @@
+"""Deterministic host input pipeline: shard, shuffle, batch, prefetch.
+
+Replaces the reference's Ray Data plumbing — `ray.train.get_dataset_shard`
+(trainers.py:785-791), `iter_torch_batches(prefetch_batches, batch_size,
+collate_fn)` (trainers.py:826-828), and the Ray object store shipping blocks
+between processes (SURVEY.md §2.4) — with a per-host pipeline:
+
+- deterministic per-process index sharding keyed by (process_index,
+  process_count), the jax.distributed equivalent of Ray's dataset shards
+- seeded per-epoch shuffling (reference relies on set_seed, train_hyper.py:215)
+- background-thread prefetch with device_put onto the batch sharding, the
+  host→HBM double-buffering the reference gets from Ray's prefetch_batches
+- samples/sec telemetry matching the reference's collator prints
+  (datasets_and_collators.py:197-204)
+"""
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+NON_DEVICE_KEYS = ("text", "idx")  # host-only fields, never device_put
+
+
+class IndexSampler:
+    """Seeded, sharded, epoch-aware index stream."""
+
+    def __init__(self, n: int, batch_size: int, seed: int = 0,
+                 shuffle: bool = True, drop_last: bool = True,
+                 process_index: int = 0, process_count: int = 1):
+        self.n = n
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(idx)
+        # contiguous per-process shard of the (shuffled) permutation
+        shard = idx[self.process_index :: self.process_count]
+        if self.drop_last:
+            usable = (len(shard) // self.batch_size) * self.batch_size
+            shard = shard[:usable]
+        return shard
+
+    def batches(self, epoch: int) -> Iterator[np.ndarray]:
+        shard = self.epoch_indices(epoch)
+        for i in range(0, len(shard) - self.batch_size + 1, self.batch_size):
+            yield shard[i : i + self.batch_size]
+
+    def batches_from_step(self, start_step: int) -> Iterator[np.ndarray]:
+        """Infinite stream resumable at a global step (epoch derived from
+        step count) — exact-stream resume, which the reference punts on
+        (it restarts the stream and fixes only the counter,
+        trainers/utils.py:37-52)."""
+        per_epoch = max(len(self.epoch_indices(0)) // self.batch_size, 1)
+        step = start_step
+        while True:
+            epoch, offset = divmod(step, per_epoch)
+            for j, b in enumerate(self.batches(epoch)):
+                if j < offset:
+                    continue
+                yield b
+                step += 1
+            if offset >= per_epoch:  # guard against degenerate shards
+                step = (epoch + 1) * per_epoch
+
+
+class DataPipeline:
+    """reader + collator + sampler → batches of numpy arrays."""
+
+    def __init__(self, reader, collator: Callable, sampler: IndexSampler,
+                 telemetry_every: int = 5):
+        self.reader = reader
+        self.collator = collator
+        self.sampler = sampler
+        self.telemetry_every = telemetry_every
+
+    def __iter__(self):
+        return self.iter_from_step(0)
+
+    def iter_from_step(self, start_step: int) -> Iterator[Dict[str, np.ndarray]]:
+        t0 = time.time()
+        seen = 0
+        for i, idx_batch in enumerate(self.sampler.batches_from_step(start_step)):
+            rows = self.reader.read(idx_batch)
+            if not rows:
+                continue
+            batch = self.collator(rows)
+            seen += len(rows)
+            if self.telemetry_every and (i + 1) % self.telemetry_every == 0:
+                dt = time.time() - t0
+                logger.info("data: %.1f samples/sec", seen / max(dt, 1e-9))
+            yield batch
+
+    def eval_batches(self, indices: Sequence[int], batch_size: int
+                     ) -> Iterator[Dict[str, np.ndarray]]:
+        """Ordered, non-shuffled pass (offline eval); keeps partial tail."""
+        for i in range(0, len(indices), batch_size):
+            rows = self.reader.read(list(indices[i : i + batch_size]))
+            if rows:
+                yield self.collator(rows)
+
+
+def device_prefetch(it: Iterator[Dict[str, np.ndarray]],
+                    sharding: Optional[Any] = None, size: int = 2,
+                    accum_steps: int = 1) -> Iterator[Dict[str, Any]]:
+    """Background thread stages host batches; main thread device_puts.
+
+    With accum_steps > 1, reshapes every device leaf to
+    (accum, micro, ...) for the train step's scan.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def produce():
+        try:
+            for b in it:
+                q.put(b)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+
+    while True:
+        b = q.get()
+        if b is _END:
+            return
+        out: Dict[str, Any] = {}
+        for k, v in b.items():
+            if k in NON_DEVICE_KEYS:
+                out[k] = v
+                continue
+            if accum_steps > 1:
+                B = v.shape[0]
+                assert B % accum_steps == 0, (B, accum_steps)
+                v = v.reshape((accum_steps, B // accum_steps) + v.shape[1:])
+            out[k] = jax.device_put(v, sharding) if sharding is not None \
+                else jax.device_put(v)
+        yield out
