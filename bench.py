@@ -1,0 +1,92 @@
+"""Headline benchmark: utterances/sec/chip, whisper-large-v3 LoRA fine-tune.
+
+Matches BASELINE.json's primary metric. One training step = on-device
+log-mel frontend + teacher-forced forward/backward through the frozen
+bf16 base with LoRA adapters on q/v projections + AdamW adapter update —
+the TPU-native equivalent of the reference's PEFT trial hot loop
+(trainers.py:472-722). The reference publishes no numbers (BASELINE.md);
+vs_baseline is measured against an estimated 6 utt/s/A100 for the
+reference's HF-Trainer LoRA path at batch 8 (documented in BASELINE.md —
+"established, not matched").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_BASELINE_UTT_PER_SEC = 6.0  # estimated reference throughput per A100
+
+MODEL = os.environ.get("BENCH_MODEL", "large-v3")
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+LABEL_LEN = int(os.environ.get("BENCH_LABEL_LEN", "192"))
+STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+
+
+def main():
+    from asr_finetune_tpu.models import whisper as W
+    from asr_finetune_tpu.models.configs import get_config
+    from asr_finetune_tpu.ops import logmel
+    from asr_finetune_tpu.training import lora as lora_lib
+    from asr_finetune_tpu.training import optim
+    from asr_finetune_tpu.training.train_step import (
+        TrainStepConfig, make_train_state, make_train_step)
+
+    cfg = get_config(MODEL)
+    rng = jax.random.PRNGKey(0)
+
+    # frozen base in bf16 (the reference freezes an int8 base; bf16 keeps
+    # MXU-native matmuls and fits v5e HBM comfortably)
+    params = W.init_params(rng, cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    lcfg = lora_lib.LoraConfig(rank=8, alpha=16.0)
+    adapters = lora_lib.init_adapters(jax.random.PRNGKey(1), cfg, lcfg)
+
+    tx = optim.make_optimizer(1e-4, max_steps=1000)
+    tcfg = TrainStepConfig(mode="peft", compute_dtype=jnp.bfloat16,
+                           remat=True, on_device_logmel=True,
+                           n_mels=cfg.num_mel_bins, lora=lcfg, max_steps=1000)
+    state = make_train_state(params, tx, adapters=adapters)
+    step = jax.jit(make_train_step(cfg, tx, tcfg), donate_argnums=(0,))
+
+    host_rng = np.random.default_rng(0)
+    audio = jnp.asarray(host_rng.standard_normal(
+        (BATCH, logmel.CHUNK_SAMPLES)).astype(np.float32) * 0.1)
+    toks = jnp.asarray(host_rng.integers(
+        0, cfg.vocab_size - 2000, (BATCH, LABEL_LEN)).astype(np.int32))
+    batch = {"audio": audio, "decoder_input_ids": toks, "labels": toks}
+
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])  # full host sync (block_until_ready alone does not
+                            # flush the axon remote-execution tunnel)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step(state, batch)
+    loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss), loss
+
+    n_chips = jax.local_device_count()
+    utt_per_sec_per_chip = BATCH * STEPS / dt / n_chips
+    print(json.dumps({
+        "metric": f"utterances/sec/chip ({MODEL} LoRA fine-tune, bs={BATCH}, "
+                  f"labels={LABEL_LEN}, on-device log-mel)",
+        "value": round(utt_per_sec_per_chip, 3),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(utt_per_sec_per_chip / A100_BASELINE_UTT_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
