@@ -79,8 +79,13 @@ WHISPER_CONFIGS = {
         no_timestamps_token_id=50364,
         timestamp_begin_id=50365,
     ),
-    # miniature config for unit tests (not a released variant)
-    "test-nano": _mk(64, 2, 2, vocab=256 + 16, mels=80),
+    # miniature config for unit tests (not a released variant); special ids
+    # follow the byte-fallback tokenizer layout (models/tokenizer.py)
+    "test-nano": dataclasses.replace(
+        _mk(64, 2, 2, vocab=256 + 16, mels=80),
+        eos_token_id=256, sot_token_id=257, first_language_token_id=258,
+        translate_token_id=260, transcribe_token_id=261,
+        no_timestamps_token_id=262, timestamp_begin_id=263, pad_token_id=256),
 }
 
 

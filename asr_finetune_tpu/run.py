@@ -1,0 +1,309 @@
+"""Single-trial training driver: args → model + data + mesh + Trainer.
+
+The per-trial train function of the framework — the role of the reference's
+`train_whisper_model` / `train_whisper_peft_model` (trainers.py:725, :472)
+plus the dataset/mesh wiring `train_hyper.py` does around them
+(:253-332). The HPO controller (hpo/controller.py) calls `run_trial` with
+per-trial hyperparameter overrides; `python -m asr_finetune_tpu.cli.train`
+calls it once.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from . import config as config_lib
+from .data.collator import Collator, CollatorConfig
+from .data.hdf5 import Hdf5AudioReader
+from .data.modes import get_data_mode
+from .data.parquet import ParquetCollator, ParquetFeatureReader
+from .data.pipeline import DataPipeline, IndexSampler, device_prefetch
+from .models import whisper as W
+from .models.configs import WhisperConfig, get_config
+from .models.convert_hf import load_pretrained
+from .models.tokenizer import load_tokenizer
+from .ops import logmel as logmel_ops
+from .parallel import mesh as mesh_lib
+from .parallel import sharding as sh
+from .training import lora as lora_lib
+from .training import optim as optim_lib
+from .training.checkpoint import CheckpointManager, save_trial_manifest
+from .training.train_step import TrainStepConfig, make_train_state
+from .training.trainer import Trainer, TrainerConfig
+from .utils.logging_utils import MetricsLogger, dump_config, setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class BuiltModel:
+    cfg: WhisperConfig
+    params: Dict[str, Any]
+    adapters: Optional[Dict[str, Any]]
+    tokenizer: Any
+
+
+def build_model(args, hp: Optional[Dict[str, Any]] = None) -> BuiltModel:
+    hp = hp or {}
+    if args.model_path:
+        params, cfg = load_pretrained(args.model_path)
+        tokenizer = load_tokenizer(args.model_path, cfg.vocab_size)
+    else:
+        cfg = get_config(args.model_type)
+        params = W.init_params(jax.random.PRNGKey(args.random_seed), cfg)
+        tokenizer = load_tokenizer(None)
+        if cfg.vocab_size > 1000:
+            logger.warning("no --model_path: random init + byte-fallback "
+                           "tokenizer (smoke-test mode)")
+        # align model special ids with the byte-fallback tokenizer layout
+        cfg = dataclasses.replace(
+            cfg, eos_token_id=tokenizer.special.eot,
+            sot_token_id=tokenizer.special.sot,
+            pad_token_id=tokenizer.special.pad)
+
+    adapters = None
+    if args.peft:
+        lcfg = lora_lib.LoraConfig(
+            rank=int(hp.get("rank", args.lora_rank)),
+            alpha=float(hp.get("alpha", args.lora_alpha)),
+            adalora=args.adalora,
+            target_rank=(args.adalora_target_rank or None),
+        )
+        adapters = lora_lib.init_adapters(
+            jax.random.PRNGKey(args.random_seed + 1), cfg, lcfg)
+        if args.load_in_8bit:
+            from .ops import quant
+            params = quant.quantize_tree_int8(params)
+        else:
+            params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    return BuiltModel(cfg, params, adapters, tokenizer)
+
+
+def _resolve_path(args, name: str) -> str:
+    if os.path.isabs(name) or not args.path_to_data:
+        return name
+    return os.path.join(args.path_to_data, name)
+
+
+def build_data(args, tokenizer, model_cfg: WhisperConfig):
+    """Returns (train_pipeline_factory, eval_batches_fn, n_train)."""
+    mode = get_data_mode(args.data_mode)
+    features = "host" if args.host_logmel else "audio"
+    ccfg = CollatorConfig(features=features, n_mels=model_cfg.num_mel_bins,
+                          language=args.target_language, task=args.task)
+
+    def make_reader(kind: str, name: str):
+        path = _resolve_path(args, name)
+        if kind == "parquet":
+            return ParquetFeatureReader(path)
+        return Hdf5AudioReader(path, copy_to_local=args.copy_to_local)
+
+    train_reader = make_reader(mode["train"], args.dataset_name)
+    n_total = len(train_reader)
+    if args.limit_samples:
+        n_total = min(n_total, args.limit_samples)
+
+    if args.val_dataset_name:
+        val_reader = make_reader(mode["val"], args.val_dataset_name)
+        train_indices = np.arange(n_total)
+        val_indices = np.arange(len(val_reader))
+    else:
+        # deterministic split of one dataset (reference audiofolder path
+        # splits 80/20 then 90/10, datasets_and_collators.py:384-397)
+        rng = np.random.default_rng(args.random_seed)
+        perm = rng.permutation(n_total)
+        n_val = max(int(n_total * args.val_split), 1)
+        val_indices = perm[:n_val]
+        train_indices = perm[n_val:]
+        val_reader = train_reader
+
+    def make_collator(reader):
+        if isinstance(reader, ParquetFeatureReader):
+            return ParquetCollator(reader, tokenizer.special.sot,
+                                   tokenizer.special.pad)
+        return Collator(tokenizer, ccfg)
+
+    # eval shards: partition val set into ~eval_sample_fraction chunks
+    # (reference partition_dataset, train_hyper.py:165-194)
+    frac = max(min(args.eval_sample_fraction, 1.0), 1e-6)
+    num_shards = max(int(round(1.0 / frac)), 1)
+    shards = np.array_split(val_indices, num_shards)
+
+    def train_iter_factory(mesh, accum):
+        B = args.per_device_train_batch_size * mesh.shape[mesh_lib.DATA_AXIS]
+        reader = train_reader
+        collator = make_collator(reader)
+        if isinstance(collator, ParquetCollator):
+            pipe_reader = collator  # pass-through read()
+        else:
+            pipe_reader = reader
+        sampler = IndexSampler(len(train_indices), B * accum,
+                               seed=args.random_seed,
+                               process_index=jax.process_index(),
+                               process_count=jax.process_count())
+        remap = train_indices
+
+        class _RemapReader:
+            def read(self, idx):
+                return pipe_reader.read(remap[np.asarray(idx, int)]) \
+                    if not isinstance(pipe_reader, ParquetCollator) \
+                    else remap[np.asarray(idx, int)]
+
+        pipe = DataPipeline(_RemapReader(), collator, sampler)
+        if accum > 1:
+            bs = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+        else:
+            bs = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+
+        def factory(start_step: int):
+            return device_prefetch(pipe.iter_from_step(start_step), bs,
+                                   size=args.prefetch_batches,
+                                   accum_steps=accum)
+
+        return factory
+
+    def eval_batches_fn(shard_id: int) -> List[Dict[str, Any]]:
+        idx = shards[shard_id % len(shards)]
+        collator = make_collator(val_reader)
+        B = args.per_device_eval_batch_size
+        out = []
+        for i in range(0, len(idx) - B + 1, B):
+            sel = idx[i : i + B]
+            if isinstance(collator, ParquetCollator):
+                out.append(collator(sel))
+            else:
+                rows = val_reader.read(sel)
+                if rows:
+                    out.append(collator(rows))
+        if not out and len(idx):
+            sel = idx[: max(len(idx) // B * B, len(idx))][:B]
+            if isinstance(collator, ParquetCollator):
+                out.append(collator(sel))
+            else:
+                rows = val_reader.read(sel)
+                if rows:
+                    out.append(collator(rows))
+        return out
+
+    return train_iter_factory, eval_batches_fn, len(train_indices), num_shards
+
+
+def run_trial(args, hp: Optional[Dict[str, Any]] = None,
+              trial_dir: Optional[str] = None) -> Dict[str, Any]:
+    """One full training run with optional hyperparameter overrides."""
+    hp = dict(hp or {})
+    setup_logging(logging.DEBUG if args.debug else logging.INFO)
+    out_dir = trial_dir or os.path.join(args.output_dir, args.output_tag)
+    os.makedirs(out_dir, exist_ok=True)
+    dump_config(out_dir, {**vars(args), **{f"hp.{k}": v for k, v in hp.items()}})
+
+    built = build_model(args, hp)
+    cfg = built.cfg
+
+    tp = max(args.tp, 1)
+    mesh = mesh_lib.create_mesh(data=-1, model=tp)
+    accum = args.gradient_accumulation_steps
+
+    lr = float(hp.get("learning_rate", args.learning_rate))
+    wd = float(hp.get("weight_decay", args.weight_decay))
+    sched = str(hp.get("lr_scheduler_type", args.lr_scheduler_type))
+    warmup_steps = hp.get("warmup_steps", args.warmup_steps or None)
+    warmup_ratio = hp.get("warmup_ratio", args.warmup_ratio or None)
+    tx = optim_lib.make_optimizer(
+        lr, args.max_steps, sched,
+        warmup_steps=int(warmup_steps) if warmup_steps else None,
+        warmup_ratio=float(warmup_ratio) if warmup_ratio else None,
+        weight_decay=wd, max_grad_norm=args.max_grad_norm)
+
+    lcfg = None
+    if args.peft:
+        lcfg = lora_lib.LoraConfig(
+            rank=int(hp.get("rank", args.lora_rank)),
+            alpha=float(hp.get("alpha", args.lora_alpha)),
+            adalora=args.adalora,
+            target_rank=(args.adalora_target_rank or None))
+    step_cfg = TrainStepConfig(
+        mode="peft" if args.peft else "full",
+        accum_steps=accum,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        remat=args.gradient_checkpointing,
+        label_smoothing=args.label_smoothing,
+        on_device_logmel=not args.host_logmel,
+        n_mels=cfg.num_mel_bins,
+        max_steps=args.max_steps,
+        lora=lcfg)
+
+    # shard model/optimizer over the mesh
+    params = sh.shard_tree(built.params, sh.param_shardings(built.params, mesh))
+    adapters = built.adapters
+    if adapters is not None:
+        adapters = sh.shard_tree(adapters, sh.adapter_shardings(adapters, mesh))
+    state = make_train_state(params, tx, adapters=adapters,
+                             adalora=bool(lcfg and lcfg.adalora))
+    state["opt_state"] = sh.shard_tree(
+        state["opt_state"], sh.zero_shardings(state["opt_state"], mesh))
+    # every leaf mesh-committed so checkpoint restore round-trips shardings
+    state["step"] = jax.device_put(state["step"], mesh_lib.replicated(mesh))
+    if state.get("sensitivity") is not None:
+        state["sensitivity"] = sh.shard_tree(
+            state["sensitivity"],
+            sh.adapter_shardings(state["sensitivity"], mesh))
+
+    train_iter_factory, eval_batches_fn, n_train, num_shards = build_data(
+        args, built.tokenizer, cfg)
+
+    batch_size = args.per_device_train_batch_size * mesh.shape[mesh_lib.DATA_AXIS]
+    max_steps = args.max_steps or (
+        (n_train // max(batch_size, 1)) * args.num_train_epochs)
+
+    tcfg = TrainerConfig(
+        max_steps=max_steps,
+        eval_steps=args.eval_steps,
+        save_steps=args.save_steps,
+        logging_steps=args.logging_steps,
+        wer_weight=args.wer_weight,
+        generation_max_length=args.generation_max_length,
+        generation_num_beams=args.generation_num_beams,
+        num_to_keep=args.num_to_keep,
+        language=args.target_language,
+        task=args.task,
+        eval_num_shards=num_shards,
+        output_dir=out_dir,
+        seed=args.random_seed)
+
+    ckpt = CheckpointManager(
+        os.path.join(out_dir, "checkpoints"),
+        max_to_keep=args.num_to_keep,
+        metric=tcfg.metric_for_best_model,
+        mode="min" if not tcfg.greater_is_better else "max",
+        adapter_only=args.peft)
+
+    trainer = Trainer(cfg, state, tx, step_cfg, tcfg, built.tokenizer,
+                      train_iter=train_iter_factory(mesh, accum),
+                      eval_batches_fn=eval_batches_fn,
+                      checkpoints=ckpt,
+                      metrics_logger=MetricsLogger(out_dir))
+    result = trainer.train(resume=args.resume_training)
+    save_trial_manifest(out_dir, {"result": result, "hp": hp,
+                                  "args": {k: v for k, v in vars(args).items()
+                                           if not k.startswith("_")}})
+    ckpt.close()
+    return result
+
+
+def main(argv=None):
+    args = config_lib.parse_args(argv)
+    result = run_trial(args)
+    print(result)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""The training loop: step cadence, random-shard eval, fused eval_loss_wer,
+checkpointing, resume.
+
+Replaces the reference's trainer layer (SURVEY.md L2):
+- `train_whisper_model` / `train_whisper_peft_model` (trainers.py:725, :472)
+- `Seq2SeqTrainerEvalSampling` — random validation shard per evaluate(),
+  fused eval_loss_wer = (1-w)*eval_loss + w*eval_wer (trainers.py:70-137)
+- `Seq2SeqTrainerEvalSamplingPeft` — internal generation loop for WER with
+  forced decoder ids, loss-only fallback when WER fails
+  (custom_seq2seq_trainers.py:14-306)
+- RayTrainReportCallback/StepSyncCallback → MetricsLogger + CheckpointManager
+  with step-exact stream resume.
+
+TPU-native: train step and eval steps are single jitted programs; decode for
+WER runs the batched jitted greedy/beam loop (evaluation/decode.py); the
+save/eval cadence constraint (save_steps % eval_steps == 0,
+hf_to_ray_custom_utils.py:69-79) is enforced at construction.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..evaluation import decode as decode_lib
+from ..evaluation import wer as wer_lib
+from ..evaluation.normalize import normalize
+from ..models.configs import WhisperConfig
+from ..models.tokenizer import WhisperTokenizerBase
+from ..utils.logging_utils import MetricsLogger
+from . import optim as optim_lib
+from .checkpoint import CheckpointManager
+from .train_step import TrainStepConfig, make_eval_loss_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_steps: int = 1000
+    eval_steps: int = 100
+    save_steps: int = 200
+    logging_steps: int = 10
+    metric_for_best_model: str = "eval_loss_wer"
+    greater_is_better: bool = False
+    wer_weight: float = 0.7          # reference configs/largev3_jun.config
+    generation_max_length: int = 225  # reference train_hyper.py:80
+    generation_num_beams: int = 1
+    num_to_keep: int = 2
+    language: str = "de"
+    task: str = "transcribe"
+    eval_num_shards: int = 20        # ≈ eval_sample_fraction 0.05
+    eval_max_batches: int = 0        # 0 = whole shard
+    compute_wer: bool = True
+    output_dir: str = "./output"
+    seed: int = 42
+
+    def __post_init__(self):
+        # reference constraint: checkpoint scoring needs a fresh metric
+        # (hf_to_ray_custom_utils.py:69-79)
+        if self.compute_wer or "wer" in self.metric_for_best_model:
+            if self.save_steps % max(self.eval_steps, 1) != 0:
+                raise ValueError(
+                    f"save_steps ({self.save_steps}) must be a multiple of "
+                    f"eval_steps ({self.eval_steps}) so checkpoints are scored "
+                    "on fresh metrics")
+
+
+class Trainer:
+    """Single-controller training driver over jitted step functions."""
+
+    def __init__(self, model_cfg: WhisperConfig, state: Dict[str, Any],
+                 tx, step_cfg: TrainStepConfig, cfg: TrainerConfig,
+                 tokenizer: WhisperTokenizerBase,
+                 train_iter: Callable[[int], Iterator[Dict[str, Any]]],
+                 eval_batches_fn: Optional[Callable[[int], List[Dict[str, Any]]]] = None,
+                 checkpoints: Optional[CheckpointManager] = None,
+                 metrics_logger: Optional[MetricsLogger] = None):
+        """train_iter(start_step) → infinite batch iterator (device-ready);
+        eval_batches_fn(shard_id) → list of eval batches for one val shard."""
+        self.model_cfg = model_cfg
+        self.state = state
+        self.cfg = cfg
+        self.step_cfg = step_cfg
+        self.tokenizer = tokenizer
+        self.train_iter = train_iter
+        self.eval_batches_fn = eval_batches_fn
+        self.checkpoints = checkpoints
+        self.metrics = metrics_logger or MetricsLogger(cfg.output_dir)
+
+        self._train_step = jax.jit(make_train_step(model_cfg, tx, step_cfg),
+                                   donate_argnums=(0,))
+        self._eval_loss_step = jax.jit(make_eval_loss_step(model_cfg, step_cfg))
+        forced = tokenizer.prefix_tokens(cfg.language, cfg.task)
+        self._decode = decode_lib.make_decode_fn(
+            model_cfg, forced, cfg.generation_max_length,
+            cfg.generation_num_beams, step_cfg.compute_dtype)
+        self.last_eval_metrics: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------ eval
+
+    def evaluate(self, step: int) -> Dict[str, float]:
+        """Random-shard eval: loss (+ WER + fused eval_loss_wer)."""
+        if self.eval_batches_fn is None:
+            return {}
+        rng = np.random.default_rng(self.cfg.seed + step)
+        shard_id = int(rng.integers(self.cfg.eval_num_shards))
+        batches = self.eval_batches_fn(shard_id)
+
+        losses, counts = [], []
+        refs: List[str] = []
+        hyps: List[str] = []
+        peft = self.step_cfg.mode == "peft"
+        for i, batch in enumerate(batches):
+            if self.cfg.eval_max_batches and i >= self.cfg.eval_max_batches:
+                break
+            device_batch = {k: v for k, v in batch.items()
+                            if k in ("mel", "audio", "decoder_input_ids", "labels")}
+            m = self._eval_loss_step(self.state, device_batch)
+            losses.append(float(m["loss"]))
+            counts.append(int(m["tokens"]))
+            if self.cfg.compute_wer:
+                mel = device_batch.get("mel")
+                if mel is None:
+                    from ..ops import logmel as lm
+                    mel = lm.log_mel_spectrogram(
+                        device_batch["audio"], n_mels=self.step_cfg.n_mels)
+                adapters = self.state.get("adapters") if peft else None
+                tokens, _ = self._decode(self.state["params"], mel, adapters)
+                texts = self.tokenizer.batch_decode(np.asarray(tokens))
+                hyps.extend(normalize(t) for t in texts)
+                refs.extend(normalize(str(t)) for t in batch["text"])
+
+        total = max(sum(counts), 1)
+        eval_loss = float(np.sum([l * c for l, c in zip(losses, counts)]) / total)
+        out = {"eval_loss": eval_loss}
+        w = self.cfg.wer_weight
+        if self.cfg.compute_wer:
+            try:
+                eval_wer = wer_lib.wer_percent(refs, hyps)
+                out["eval_wer"] = eval_wer
+                # fused metric, reference trainers.py:127-131
+                out["eval_loss_wer"] = (1.0 - w) * eval_loss + w * eval_wer
+            except Exception as e:  # noqa: BLE001
+                # loss-only fallback, reference custom_seq2seq_trainers.py:125-137
+                logger.warning("WER computation failed (%s); falling back to loss", e)
+                out["eval_loss_wer"] = eval_loss
+        else:
+            out["eval_loss_wer"] = eval_loss
+        out["eval_shard"] = shard_id
+        self.last_eval_metrics = out
+        return out
+
+    # ----------------------------------------------------------------- train
+
+    def train(self, resume: bool = False) -> Dict[str, Any]:
+        start_step = 0
+        if resume and self.checkpoints is not None:
+            latest = self.checkpoints.latest_step()
+            if latest is not None:
+                self.state = self.checkpoints.restore(self.state)
+                start_step = int(latest)
+                logger.info("resumed from checkpoint at step %d", start_step)
+
+        it = self.train_iter(start_step)
+        t_log = time.time()
+        tokens_since = 0
+        utts_since = 0
+        step = start_step
+        window_losses: List[float] = []
+
+        while step < self.cfg.max_steps:
+            batch = next(it)
+            device_batch = {k: v for k, v in batch.items()
+                            if k in ("mel", "audio", "decoder_input_ids", "labels")}
+            self.state, m = self._train_step(self.state, device_batch)
+            step += 1
+            window_losses.append(float(m["loss"]))
+            tokens_since += int(m["tokens"])
+            lead = device_batch["labels"]
+            utts_since += int(np.prod(lead.shape[:-1]))
+
+            if step % self.cfg.logging_steps == 0:
+                dt = time.time() - t_log
+                rec = {
+                    "loss": float(np.mean(window_losses)),
+                    "grad_norm": float(m["grad_norm"]),
+                    "utt_per_sec": utts_since / max(dt, 1e-9),
+                    "tokens_per_sec": tokens_since / max(dt, 1e-9),
+                }
+                self.metrics.log(step, rec)
+                window_losses.clear()
+                tokens_since = utts_since = 0
+                t_log = time.time()
+
+            if self.cfg.eval_steps and step % self.cfg.eval_steps == 0:
+                em = self.evaluate(step)
+                if em:
+                    self.metrics.log(step, em)
+                    logger.info("step %d eval: %s", step,
+                                {k: round(v, 4) for k, v in em.items()})
+
+            if self.checkpoints is not None and self.cfg.save_steps \
+                    and step % self.cfg.save_steps == 0:
+                self.checkpoints.save(step, self.state, self.last_eval_metrics)
+
+        if self.checkpoints is not None:
+            self.checkpoints.save(self.cfg.max_steps, self.state,
+                                  self.last_eval_metrics)
+            self.checkpoints.wait()
+        return {"final_step": step, **self.last_eval_metrics}
