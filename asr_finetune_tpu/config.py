@@ -124,6 +124,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None)
     p.add_argument("--wer_weight", type=float, default=1.0)
     p.add_argument("--eval_sample_fraction", type=float, default=1.0)
+    p.add_argument("--skip_wer_eval", action="store_true",
+                   help="loss-only eval (skips the decode path)")
     p.add_argument("--num_to_keep", type=int, default=1)
 
     # HPO

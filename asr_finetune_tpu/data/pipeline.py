@@ -65,7 +65,12 @@ class IndexSampler:
         step count) — exact-stream resume, which the reference punts on
         (it restarts the stream and fixes only the counter,
         trainers/utils.py:37-52)."""
-        per_epoch = max(len(self.epoch_indices(0)) // self.batch_size, 1)
+        per_epoch = len(self.epoch_indices(0)) // self.batch_size
+        if per_epoch == 0:
+            raise ValueError(
+                f"per-process train shard ({len(self.epoch_indices(0))} rows) "
+                f"is smaller than the global batch ({self.batch_size}); "
+                "reduce per_device_train_batch_size or provide more data")
         step = start_step
         while True:
             epoch, offset = divmod(step, per_epoch)
@@ -74,8 +79,6 @@ class IndexSampler:
                     continue
                 yield b
                 step += 1
-            if offset >= per_epoch:  # guard against degenerate shards
-                step = (epoch + 1) * per_epoch
 
 
 class DataPipeline:

@@ -196,7 +196,9 @@ def build_data(args, tokenizer, model_cfg: WhisperConfig):
 
 
 def run_trial(args, hp: Optional[Dict[str, Any]] = None,
-              trial_dir: Optional[str] = None) -> Dict[str, Any]:
+              trial_dir: Optional[str] = None,
+              on_evaluate=None, max_steps_override: Optional[int] = None,
+              resume_override: Optional[bool] = None) -> Dict[str, Any]:
     """One full training run with optional hyperparameter overrides."""
     hp = dict(hp or {})
     setup_logging(logging.DEBUG if args.debug else logging.INFO)
@@ -260,7 +262,7 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
         args, built.tokenizer, cfg)
 
     batch_size = args.per_device_train_batch_size * mesh.shape[mesh_lib.DATA_AXIS]
-    max_steps = args.max_steps or (
+    max_steps = max_steps_override or args.max_steps or (
         (n_train // max(batch_size, 1)) * args.num_train_epochs)
 
     tcfg = TrainerConfig(
@@ -275,6 +277,7 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
         language=args.target_language,
         task=args.task,
         eval_num_shards=num_shards,
+        compute_wer=not args.skip_wer_eval,
         output_dir=out_dir,
         seed=args.random_seed)
 
@@ -289,8 +292,10 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
                       train_iter=train_iter_factory(mesh, accum),
                       eval_batches_fn=eval_batches_fn,
                       checkpoints=ckpt,
-                      metrics_logger=MetricsLogger(out_dir))
-    result = trainer.train(resume=args.resume_training)
+                      metrics_logger=MetricsLogger(out_dir),
+                      on_evaluate=on_evaluate)
+    resume = args.resume_training if resume_override is None else resume_override
+    result = trainer.train(resume=resume)
     save_trial_manifest(out_dir, {"result": result, "hp": hp,
                                   "args": {k: v for k, v in vars(args).items()
                                            if not k.startswith("_")}})

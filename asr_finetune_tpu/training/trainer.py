@@ -80,7 +80,8 @@ class Trainer:
                  train_iter: Callable[[int], Iterator[Dict[str, Any]]],
                  eval_batches_fn: Optional[Callable[[int], List[Dict[str, Any]]]] = None,
                  checkpoints: Optional[CheckpointManager] = None,
-                 metrics_logger: Optional[MetricsLogger] = None):
+                 metrics_logger: Optional[MetricsLogger] = None,
+                 on_evaluate: Optional[Callable[[int, Dict[str, float]], bool]] = None):
         """train_iter(start_step) → infinite batch iterator (device-ready);
         eval_batches_fn(shard_id) → list of eval batches for one val shard."""
         self.model_cfg = model_cfg
@@ -92,6 +93,10 @@ class Trainer:
         self.eval_batches_fn = eval_batches_fn
         self.checkpoints = checkpoints
         self.metrics = metrics_logger or MetricsLogger(cfg.output_dir)
+        # HPO hook: called after each eval; returning False stops the trial
+        # early (the ASHA early-stop channel, reference
+        # ray_searchers_and_schedulers.py:63-76)
+        self.on_evaluate = on_evaluate
 
         self._train_step = jax.jit(make_train_step(model_cfg, tx, step_cfg),
                                    donate_argnums=(0,))
@@ -198,16 +203,23 @@ class Trainer:
                 tokens_since = utts_since = 0
                 t_log = time.time()
 
+            stop_early = False
             if self.cfg.eval_steps and step % self.cfg.eval_steps == 0:
                 em = self.evaluate(step)
                 if em:
                     self.metrics.log(step, em)
                     logger.info("step %d eval: %s", step,
                                 {k: round(v, 4) for k, v in em.items()})
+                    if self.on_evaluate is not None:
+                        stop_early = not self.on_evaluate(step, em)
 
             if self.checkpoints is not None and self.cfg.save_steps \
                     and step % self.cfg.save_steps == 0:
                 self.checkpoints.save(step, self.state, self.last_eval_metrics)
+
+            if stop_early:
+                logger.info("trial stopped early at step %d (scheduler)", step)
+                break
 
         if self.checkpoints is not None:
             self.checkpoints.save(self.cfg.max_steps, self.state,
