@@ -152,8 +152,14 @@ def dense(x: jax.Array, p: Params, lora: Optional[Params] = None) -> jax.Array:
     Adapter format (see training/lora.py): {"a": (d_in, r), "e": (r,),
     "b": (r, d_out), "scaling": ()} computing scaling * ((x@a)*e) @ b —
     plain LoRA with e == 1, AdaLoRA's SVD form otherwise.
+
+    Accepts int8-quantized weights ({"w_q8", "w_scale"}, ops/quant.py) for
+    the frozen PEFT base; XLA fuses the dequant into the matmul operand.
     """
-    w = p["w"].astype(x.dtype)
+    if "w_q8" in p:
+        w = p["w_q8"].astype(x.dtype) * p["w_scale"].astype(x.dtype)
+    else:
+        w = p["w"].astype(x.dtype)
     y = x @ w
     if lora is not None:
         a = lora["a"].astype(x.dtype)

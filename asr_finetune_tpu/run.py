@@ -239,6 +239,7 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
         label_smoothing=args.label_smoothing,
         on_device_logmel=not args.host_logmel,
         n_mels=cfg.num_mel_bins,
+        spec_augment=args.spec_augment,
         max_steps=args.max_steps,
         lora=lcfg)
 

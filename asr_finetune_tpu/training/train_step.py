@@ -27,6 +27,7 @@ import optax
 from ..models import whisper as W
 from ..models.configs import WhisperConfig
 from ..ops import logmel as logmel_ops
+from ..ops.spec_augment import SpecAugmentConfig, spec_augment
 from . import lora as lora_lib
 
 Params = Dict[str, Any]
@@ -41,6 +42,7 @@ class TrainStepConfig:
     label_smoothing: float = 0.0
     on_device_logmel: bool = False       # batch carries "audio" not "mel"
     n_mels: int = 80
+    spec_augment: bool = False           # on-device SpecAugment (train only)
     max_steps: int = 10000
     lora: Optional[lora_lib.LoraConfig] = None
 
@@ -68,12 +70,15 @@ def _get_mel(batch: Dict[str, jax.Array], cfg: TrainStepConfig) -> jax.Array:
 
 def make_loss_fn(model_cfg: WhisperConfig, cfg: TrainStepConfig):
     def loss_fn(trainable: Params, frozen: Optional[Params],
-                batch: Dict[str, jax.Array]) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+                batch: Dict[str, jax.Array],
+                rng: Optional[jax.Array] = None) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         if cfg.mode == "peft":
             params, adapters = frozen, trainable
         else:
             params, adapters = trainable, None
         mel = _get_mel(batch, cfg)
+        if cfg.spec_augment and rng is not None:
+            mel = spec_augment(rng, mel)
         logits = W.forward(params, mel, batch["decoder_input_ids"], model_cfg,
                            adapters=adapters, compute_dtype=cfg.compute_dtype,
                            remat=cfg.remat)
@@ -99,14 +104,15 @@ def make_train_step(model_cfg: WhisperConfig, tx: optax.GradientTransformation,
     loss_fn = make_loss_fn(model_cfg, cfg)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def single_grads(trainable, frozen, batch):
-        (loss, metrics), grads = grad_fn(trainable, frozen, batch)
+    def single_grads(trainable, frozen, batch, rng):
+        (loss, metrics), grads = grad_fn(trainable, frozen, batch, rng)
         return grads, metrics
 
-    def accum_grads(trainable, frozen, batch):
-        def body(carry, microbatch):
+    def accum_grads(trainable, frozen, batch, rng):
+        def body(carry, xs):
+            microbatch, mb_rng = xs
             g_acc, m_acc = carry
-            g, m = single_grads(trainable, frozen, microbatch)
+            g, m = single_grads(trainable, frozen, microbatch, mb_rng)
             g_acc = jax.tree.map(jnp.add, g_acc, g)
             m_acc = {k: m_acc[k] + m[k] for k in m_acc}
             return (g_acc, m_acc), None
@@ -116,7 +122,8 @@ def make_train_step(model_cfg: WhisperConfig, tx: optax.GradientTransformation,
         if cfg.mode == "peft" and cfg.lora and cfg.lora.adalora \
                 and cfg.lora.orth_reg_weight > 0:
             m0["orth_reg"] = jnp.float32(0.0)
-        (g, m), _ = jax.lax.scan(body, (g0, m0), batch)
+        rngs = jax.random.split(rng, cfg.accum_steps)
+        (g, m), _ = jax.lax.scan(body, (g0, m0), (batch, rngs))
         inv = 1.0 / cfg.accum_steps
         g = jax.tree.map(lambda x: x * inv, g)
         m = {k: (v * inv if v.dtype != jnp.int32 else v) for k, v in m.items()}
@@ -127,10 +134,11 @@ def make_train_step(model_cfg: WhisperConfig, tx: optax.GradientTransformation,
         trainable = state["adapters"] if peft else state["params"]
         frozen = state["params"] if peft else None
 
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state["step"])
         if cfg.accum_steps > 1:
-            grads, metrics = accum_grads(trainable, frozen, batch)
+            grads, metrics = accum_grads(trainable, frozen, batch, rng)
         else:
-            grads, metrics = single_grads(trainable, frozen, batch)
+            grads, metrics = single_grads(trainable, frozen, batch, rng)
 
         updates, new_opt = tx.update(grads, state["opt_state"], trainable)
         new_trainable = optax.apply_updates(trainable, updates)
@@ -164,7 +172,7 @@ def make_eval_loss_step(model_cfg: WhisperConfig, cfg: TrainStepConfig) -> Calla
         peft = cfg.mode == "peft"
         trainable = state["adapters"] if peft else state["params"]
         frozen = state["params"] if peft else None
-        loss, metrics = loss_fn(trainable, frozen, batch)
+        loss, metrics = loss_fn(trainable, frozen, batch, None)
         return metrics
 
     return step
