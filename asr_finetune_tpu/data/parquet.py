@@ -31,14 +31,21 @@ def materialize_hdf5_to_parquet(reader, tokenizer, out_dir: str,
                                 task: str = "transcribe",
                                 max_label_len: int = 448,
                                 shard_size: int = 256,
-                                limit: Optional[int] = None) -> List[str]:
-    """Precompute (mel, labels) rows → parquet shards. Returns file list."""
+                                limit: Optional[int] = None,
+                                start: int = 0,
+                                end: Optional[int] = None) -> List[str]:
+    """Precompute (mel, labels) rows → parquet shards. Returns file list.
+
+    [start, end) bounds the row range so multiple processes can partition
+    one file (the reference fans out over Ray actors,
+    materialize_dataset_ray.py:119-126)."""
     os.makedirs(out_dir, exist_ok=True)
     n = len(reader) if limit is None else min(limit, len(reader))
+    end = n if end is None else min(end, n)
     sp = tokenizer.special
     files = []
-    for shard_start in range(0, n, shard_size):
-        idx = list(range(shard_start, min(shard_start + shard_size, n)))
+    for shard_start in range(start, end, shard_size):
+        idx = list(range(shard_start, min(shard_start + shard_size, end)))
         rows = reader.read(idx)
         feats, labels_col, texts, idxs = [], [], [], []
         for i, audio, text in rows:
