@@ -58,7 +58,12 @@ class Collator:
         sp = self.tokenizer.special
         B = len(rows)
 
-        audio = np.stack([logmel_ops.pad_or_trim(a) for _, a, _ in rows])
+        try:
+            from ..utils import native_ext
+            audio = native_ext.assemble_batch(
+                [a for _, a, _ in rows], logmel_ops.CHUNK_SAMPLES)
+        except Exception:  # noqa: BLE001 — pure-Python fallback
+            audio = np.stack([logmel_ops.pad_or_trim(a) for _, a, _ in rows])
         label_lists: List[List[int]] = [
             self.tokenizer.build_labels(t, cfg.language, cfg.task)[: cfg.max_label_len]
             for _, _, t in rows

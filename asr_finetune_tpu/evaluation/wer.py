@@ -55,12 +55,15 @@ def wer(references: Iterable[str], hypotheses: Iterable[str]) -> float:
     hyps = list(hypotheses)
     if len(refs) != len(hyps):
         raise ValueError(f"length mismatch: {len(refs)} refs vs {len(hyps)} hyps")
-    errors = 0
-    total = 0
-    for r, h in zip(refs, hyps):
-        e, n = _pair_counts(r, h)
-        errors += e
-        total += n
+    if native_ext is not None and native_ext.available():
+        errors, total = native_ext.corpus_wer(refs, hyps)
+    else:
+        errors = 0
+        total = 0
+        for r, h in zip(refs, hyps):
+            e, n = _pair_counts(r, h)
+            errors += e
+            total += n
     if total == 0:
         raise ValueError("no reference words; WER undefined")
     return errors / total
