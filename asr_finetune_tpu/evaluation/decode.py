@@ -42,7 +42,8 @@ def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     n_forced = int(forced.shape[0])
     assert n_forced >= 1, "forced_tokens must at least contain sot"
 
-    enc_out = W.encode(params, mel, cfg, adapters, compute_dtype)
+    enc_out = W.encode(params, mel, cfg, adapters, compute_dtype,
+                       attn_impl="auto")  # inference: flash where it wins
     cross_kv = W.precompute_cross_kv(params, enc_out, cfg, adapters)
     cache = W.init_cache(cfg, B, max_length, dtype=compute_dtype)
 

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .configs import WhisperConfig
+from ..ops.attention import attention as _attention_dispatch
 
 Params = Dict[str, Any]
 
@@ -196,14 +197,19 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def mha(x: jax.Array, kv_src: jax.Array, p: Params, heads: int,
         mask: Optional[jax.Array] = None,
-        lora: Optional[Params] = None) -> jax.Array:
-    """Full (non-incremental) multi-head attention."""
+        lora: Optional[Params] = None,
+        causal: bool = False, impl: str = "auto") -> jax.Array:
+    """Full (non-incremental) multi-head attention.
+
+    Dispatches to Pallas flash attention on TPU for long unmasked/causal
+    sequences (ops/attention.py), XLA softmax attention otherwise.
+    """
     lq = lora.get("q") if lora else None
     lv = lora.get("v") if lora else None
     q = _split_heads(dense(x, p["q"], lq), heads)
     k = _split_heads(dense(kv_src, p["k"]), heads)
     v = _split_heads(dense(kv_src, p["v"], lv), heads)
-    out = attention(q, k, v, mask)
+    out = _attention_dispatch(q, k, v, mask, causal=causal, impl=impl)
     return dense(_merge_heads(out), p["o"])
 
 
@@ -235,7 +241,7 @@ def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Array:
 def encode(params: Params, mel: jax.Array, cfg: WhisperConfig,
            adapters: Optional[Params] = None,
            compute_dtype: jnp.dtype = jnp.bfloat16,
-           remat: bool = False) -> jax.Array:
+           remat: bool = False, attn_impl: str = "auto") -> jax.Array:
     """mel (B, frames, n_mels) → encoder states (B, frames//2, d_model)."""
     enc = params["encoder"]
     x = _gelu(_conv1d(mel, enc["conv1"]["w"], enc["conv1"]["b"], 1))
@@ -249,7 +255,8 @@ def encode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     def layer(x, xs):
         lp, la = xs
         h = layer_norm(x, lp["ln1"])
-        x = x + mha(h, h, lp["attn"], cfg.encoder_heads, lora=la)
+        x = x + mha(h, h, lp["attn"], cfg.encoder_heads, lora=la,
+                    impl=attn_impl)
         h = layer_norm(x, lp["ln2"])
         x = x + mlp_block(h, lp["mlp"])
         return x, None
@@ -272,14 +279,13 @@ def encode(params: Params, mel: jax.Array, cfg: WhisperConfig,
 def decode_train(params: Params, tokens: jax.Array, enc_out: jax.Array,
                  cfg: WhisperConfig, adapters: Optional[Params] = None,
                  compute_dtype: jnp.dtype = jnp.bfloat16,
-                 remat: bool = False) -> jax.Array:
+                 remat: bool = False, attn_impl: str = "auto") -> jax.Array:
     """Teacher-forced decode: tokens (B, T) → logits (B, T, vocab)."""
     dec = params["decoder"]
     B, T = tokens.shape
     x = dec["embed"].astype(compute_dtype)[tokens]
     x = x + dec["pos"][:T].astype(compute_dtype)[None]
 
-    causal = jnp.tril(jnp.ones((T, T), bool))[None, None]
     dec_adapters = adapters.get("decoder") if adapters else None
 
     def layer(x, xs):
@@ -287,9 +293,11 @@ def decode_train(params: Params, tokens: jax.Array, enc_out: jax.Array,
         sa_l = la.get("self_attn") if la else None
         ca_l = la.get("cross_attn") if la else None
         h = layer_norm(x, lp["ln1"])
-        x = x + mha(h, h, lp["self_attn"], cfg.decoder_heads, causal, lora=sa_l)
+        x = x + mha(h, h, lp["self_attn"], cfg.decoder_heads, lora=sa_l,
+                    causal=True, impl=attn_impl)
         h = layer_norm(x, lp["ln2"])
-        x = x + mha(h, enc_out, lp["cross_attn"], cfg.decoder_heads, lora=ca_l)
+        x = x + mha(h, enc_out, lp["cross_attn"], cfg.decoder_heads, lora=ca_l,
+                    impl=attn_impl)
         h = layer_norm(x, lp["ln3"])
         x = x + mlp_block(h, lp["mlp"])
         return x, None
@@ -311,10 +319,17 @@ def decode_train(params: Params, tokens: jax.Array, enc_out: jax.Array,
 def forward(params: Params, mel: jax.Array, tokens: jax.Array,
             cfg: WhisperConfig, adapters: Optional[Params] = None,
             compute_dtype: jnp.dtype = jnp.bfloat16,
-            remat: bool = False) -> jax.Array:
-    """Full teacher-forced forward: (mel, decoder_input_ids) → logits."""
-    enc_out = encode(params, mel, cfg, adapters, compute_dtype, remat)
-    return decode_train(params, tokens, enc_out, cfg, adapters, compute_dtype, remat)
+            remat: bool = False, attn_impl: str = "auto") -> jax.Array:
+    """Full teacher-forced forward: (mel, decoder_input_ids) → logits.
+
+    attn_impl: "xla" | "flash" | "auto". Training uses "xla" by default —
+    flash's fused backward measured SLOWER than XLA attention grad on v5e
+    (8.0 vs 18.3 utt/s on the large-v3 LoRA step); inference-only paths use
+    flash where it wins (ops/attention.py).
+    """
+    enc_out = encode(params, mel, cfg, adapters, compute_dtype, remat, attn_impl)
+    return decode_train(params, tokens, enc_out, cfg, adapters, compute_dtype,
+                        remat, attn_impl)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,97 @@
+"""Attention implementations: XLA softmax attention and TPU flash attention.
+
+The reference relies on torch SDPA inside HF Whisper (CUDA fused attention).
+Here the training-path attention can run through Pallas flash attention
+(jax.experimental.pallas.ops.tpu.flash_attention) — O(T) memory, no
+(B, H, T, T) softmax materialization — which matters for the encoder's
+1500-frame self-attention in whisper-large-v3 (20 heads x 1500² logits).
+
+Whisper's sequence lengths (1500 encoder frames, 448-token label buckets)
+are not 128-multiples, so inputs are zero-padded to the tile size and
+masked via SegmentIds (valid tokens segment 0, padding segment 1 — flash
+only attends within equal segments).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_available() -> bool:
+    import os
+    if os.environ.get("ASR_TPU_ATTN_IMPL", "").lower() == "xla":
+        return False
+    try:
+        from jax.experimental.pallas.ops.tpu import flash_attention  # noqa: F401
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                  mask: Optional[jax.Array] = None,
+                  causal: bool = False) -> jax.Array:
+    """Reference attention over (B, T, H, hd); fp32 softmax."""
+    hd = q.shape[-1]
+    scale = hd ** -0.5
+    acc = jnp.promote_types(q.dtype, jnp.float32)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                        preferred_element_type=acc)
+    if causal:
+        Tq, Tk = q.shape[1], k.shape[1]
+        cm = jnp.tril(jnp.ones((Tq, Tk), bool))[None, None]
+        mask = cm if mask is None else (mask & cm)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+    probs = jax.nn.softmax(logits.astype(acc), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def flash(q: jax.Array, k: jax.Array, v: jax.Array,
+          causal: bool = False) -> jax.Array:
+    """Pallas flash attention over (B, T, H, hd) with auto padding/masking."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+
+    B, Tq, H, hd = q.shape
+    Tk = k.shape[1]
+    Tq_p, Tk_p = _round_up(Tq, 128), _round_up(Tk, 128)
+
+    def pad_t(x, T_p):
+        if x.shape[1] == T_p:
+            return x
+        return jnp.pad(x, ((0, 0), (0, T_p - x.shape[1]), (0, 0), (0, 0)))
+
+    qp = pad_t(q, Tq_p).transpose(0, 2, 1, 3)  # (B, H, Tq_p, hd)
+    kp = pad_t(k, Tk_p).transpose(0, 2, 1, 3)
+    vp = pad_t(v, Tk_p).transpose(0, 2, 1, 3)
+
+    seg = None
+    if Tq_p != Tq or Tk_p != Tk:
+        q_ids = (jnp.arange(Tq_p) >= Tq).astype(jnp.int32)[None].repeat(B, 0)
+        kv_ids = (jnp.arange(Tk_p) >= Tk).astype(jnp.int32)[None].repeat(B, 0)
+        seg = SegmentIds(q=q_ids, kv=kv_ids)
+
+    out = flash_attention(qp, kp, vp, segment_ids=seg, causal=causal,
+                          sm_scale=hd ** -0.5)
+    return out.transpose(0, 2, 1, 3)[:, :Tq]
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array,
+              mask: Optional[jax.Array] = None, causal: bool = False,
+              impl: str = "auto") -> jax.Array:
+    """Dispatch: flash for long unmasked/causal training attention on TPU,
+    XLA softmax otherwise (custom masks, short queries, CPU tests)."""
+    use_flash = (impl in ("auto", "flash") and mask is None
+                 and q.shape[1] >= 128 and _flash_available())
+    if use_flash:
+        return flash(q, k, v, causal=causal)
+    return xla_attention(q, k, v, mask, causal)

@@ -43,6 +43,7 @@ class TrainStepConfig:
     on_device_logmel: bool = False       # batch carries "audio" not "mel"
     n_mels: int = 80
     spec_augment: bool = False           # on-device SpecAugment (train only)
+    attn_impl: str = "xla"               # flash bwd measured slower on v5e
     max_steps: int = 10000
     lora: Optional[lora_lib.LoraConfig] = None
 
@@ -81,7 +82,7 @@ def make_loss_fn(model_cfg: WhisperConfig, cfg: TrainStepConfig):
             mel = spec_augment(rng, mel)
         logits = W.forward(params, mel, batch["decoder_input_ids"], model_cfg,
                            adapters=adapters, compute_dtype=cfg.compute_dtype,
-                           remat=cfg.remat)
+                           remat=cfg.remat, attn_impl=cfg.attn_impl)
         loss, n_tok = W.cross_entropy(logits, batch["labels"], cfg.label_smoothing)
         metrics = {"loss": loss, "tokens": n_tok}
         if cfg.mode == "peft" and cfg.lora and cfg.lora.adalora \
