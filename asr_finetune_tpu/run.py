@@ -269,6 +269,7 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
     tcfg = TrainerConfig(
         max_steps=max_steps,
         eval_steps=args.eval_steps,
+        eval_delay=args.eval_delay,
         save_steps=args.save_steps,
         logging_steps=args.logging_steps,
         wer_weight=args.wer_weight,

@@ -44,6 +44,7 @@ logger = logging.getLogger(__name__)
 class TrainerConfig:
     max_steps: int = 1000
     eval_steps: int = 100
+    eval_delay: int = 0              # skip evals before this step (HF arg)
     save_steps: int = 200
     logging_steps: int = 10
     metric_for_best_model: str = "eval_loss_wer"
@@ -204,7 +205,8 @@ class Trainer:
                 t_log = time.time()
 
             stop_early = False
-            if self.cfg.eval_steps and step % self.cfg.eval_steps == 0:
+            if self.cfg.eval_steps and step % self.cfg.eval_steps == 0 \
+                    and step >= self.cfg.eval_delay:
                 em = self.evaluate(step)
                 if em:
                     self.metrics.log(step, em)
