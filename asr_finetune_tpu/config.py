@@ -17,7 +17,7 @@ import shlex
 from typing import List, Optional, Sequence
 
 DATA_MODES = ("h5", "parquet", "parquet_h5", "train_parquet", "val_parquet",
-              "val_h5")
+              "val_h5", "folder")
 SEARCH_MODES = ("small_small", "large_small_OPTUNA", "large_small_BOHB",
                 "large_large")
 LR_SCHEDULERS = ("linear", "cosine", "constant")

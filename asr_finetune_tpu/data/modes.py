@@ -16,6 +16,10 @@ DATA_MODES: Dict[str, Dict[str, str]] = {
     "train_parquet": {"train": "parquet", "val": "h5"},
     "val_parquet":   {"train": "h5",      "val": "parquet"},
     "val_h5":        {"train": "parquet", "val": "h5"},
+    # audiofolder: directories of .wav + metadata.csv
+    # (reference load_and_prepare_data_from_folders,
+    # datasets_and_collators.py:329-412)
+    "folder":        {"train": "folder",  "val": "folder"},
 }
 
 

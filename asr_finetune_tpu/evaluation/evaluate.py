@@ -38,6 +38,7 @@ class EvalConfig:
     task: str = "transcribe"
     max_length: int = 225
     num_beams: int = 1
+    return_timestamps: bool = False
     batch_size: int = 8
     checkpoint_every: int = 100   # batches, reference evaluate_peft.py:391-418
     output_dir: str = "./eval_out"
@@ -55,7 +56,8 @@ class OfflineEvaluator:
         self.adapters = adapters
         self.tokenizer = tokenizer
         self.cfg = cfg
-        forced = tokenizer.prefix_tokens(cfg.language, cfg.task)
+        forced = tokenizer.prefix_tokens(cfg.language, cfg.task,
+                                         predict_timestamps=cfg.return_timestamps)
         self._decode = decode_lib.make_decode_fn(
             model_cfg, forced, cfg.max_length, cfg.num_beams, cfg.compute_dtype)
         os.makedirs(cfg.output_dir, exist_ok=True)

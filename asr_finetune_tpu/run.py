@@ -103,6 +103,9 @@ def build_data(args, tokenizer, model_cfg: WhisperConfig):
         path = _resolve_path(args, name)
         if kind == "parquet":
             return ParquetFeatureReader(path)
+        if kind == "folder":
+            from .data.audiofolder import AudioFolderReader
+            return AudioFolderReader(path.split(","))
         return Hdf5AudioReader(path, copy_to_local=args.copy_to_local)
 
     train_reader = make_reader(mode["train"], args.dataset_name)
@@ -280,6 +283,7 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
         task=args.task,
         eval_num_shards=num_shards,
         compute_wer=not args.skip_wer_eval,
+        return_timestamps=args.return_timestamps,
         output_dir=out_dir,
         seed=args.random_seed)
 

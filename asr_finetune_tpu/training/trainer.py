@@ -58,6 +58,7 @@ class TrainerConfig:
     eval_num_shards: int = 20        # ≈ eval_sample_fraction 0.05
     eval_max_batches: int = 0        # 0 = whole shard
     compute_wer: bool = True
+    return_timestamps: bool = False   # reference whisper_models.py:44-48
     output_dir: str = "./output"
     seed: int = 42
 
@@ -102,7 +103,8 @@ class Trainer:
         self._train_step = jax.jit(make_train_step(model_cfg, tx, step_cfg),
                                    donate_argnums=(0,))
         self._eval_loss_step = jax.jit(make_eval_loss_step(model_cfg, step_cfg))
-        forced = tokenizer.prefix_tokens(cfg.language, cfg.task)
+        forced = tokenizer.prefix_tokens(cfg.language, cfg.task,
+                                         predict_timestamps=cfg.return_timestamps)
         self._decode = decode_lib.make_decode_fn(
             model_cfg, forced, cfg.generation_max_length,
             cfg.generation_num_beams, step_cfg.compute_dtype)
