@@ -53,7 +53,11 @@ class BuiltModel:
 def build_model(args, hp: Optional[Dict[str, Any]] = None) -> BuiltModel:
     hp = hp or {}
     if args.model_path:
-        params, cfg = load_pretrained(args.model_path)
+        from .models import native_io
+        if native_io.is_native_checkpoint(args.model_path):
+            params, cfg = native_io.load_params(args.model_path)
+        else:
+            params, cfg = load_pretrained(args.model_path)
         tokenizer = load_tokenizer(args.model_path, cfg.vocab_size)
     else:
         cfg = get_config(args.model_type)
