@@ -55,6 +55,25 @@ def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
+def _pick_block(T: int, prefer=(768, 512, 384, 256, 128)) -> int:
+    """Largest preferred tile dividing T. Default flash block sizes are badly
+    tuned for Whisper's shapes on v5e (41.8 ms/bwd at 1536x20x64 vs 11.7 ms
+    with 768 blocks; XLA attention is 17.0 ms)."""
+    for b in prefer:
+        if T % b == 0:
+            return b
+    return 128
+
+
+def _block_sizes(Tq: int, Tk: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+    bq, bk = _pick_block(Tq), _pick_block(Tk)
+    return BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
+
+
 def flash(q: jax.Array, k: jax.Array, v: jax.Array,
           causal: bool = False) -> jax.Array:
     """Pallas flash attention over (B, T, H, hd) with auto padding/masking."""
@@ -81,7 +100,8 @@ def flash(q: jax.Array, k: jax.Array, v: jax.Array,
         seg = SegmentIds(q=q_ids, kv=kv_ids)
 
     out = flash_attention(qp, kp, vp, segment_ids=seg, causal=causal,
-                          sm_scale=hd ** -0.5)
+                          sm_scale=hd ** -0.5,
+                          block_sizes=_block_sizes(Tq_p, Tk_p))
     return out.transpose(0, 2, 1, 3)[:, :Tq]
 
 

@@ -43,7 +43,11 @@ class TrainStepConfig:
     on_device_logmel: bool = False       # batch carries "audio" not "mel"
     n_mels: int = 80
     spec_augment: bool = False           # on-device SpecAugment (train only)
-    attn_impl: str = "xla"               # flash bwd measured slower on v5e
+    attn_impl: str = "xla"               # in-step flash (even with tuned
+                                         # blocks) loses to XLA attention due
+                                         # to per-layer BTHd->BHTd transposes
+                                         # under remat; inference encode uses
+                                         # flash where it wins
     max_steps: int = 10000
     lora: Optional[lora_lib.LoraConfig] = None
 
