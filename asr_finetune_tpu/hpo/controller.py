@@ -101,17 +101,42 @@ def run_experiment(args) -> Dict[str, Any]:
         if rec.get("status") == "completed" and metric in rec.get("result", {}):
             searcher.observe(rec["hp"], rec["result"][metric])
 
+    # trial packing: chips_per_trial > 0 → concurrent trials on disjoint chip
+    # subsets (the TPU equivalent of the reference packing 2 trials/GPU with
+    # gpus_per_trial=0.5; SURVEY.md §2.3). Lock guards searcher/scheduler
+    # state; each trial builds its own mesh over its slot's devices.
+    import queue as queue_mod
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
+    all_devices = jax.local_devices()
+    chips = int(args.chips_per_trial) if args.chips_per_trial else 0
+    if chips and chips < len(all_devices):
+        n_slots = min(len(all_devices) // chips,
+                      max(args.max_concurrent_trials, 1))
+    else:
+        n_slots = 1
+        chips = len(all_devices)
+    slots: "queue_mod.Queue" = queue_mod.Queue()
+    for s in range(n_slots):
+        slots.put(all_devices[s * chips : (s + 1) * chips])
+    lock = threading.Lock()
     results = []
-    for i in range(args.num_samples):
+
+    def run_one(i: int):
         trial_id = f"trial_{i:04d}"
         rec = state.trials.get(trial_id)
         if rec and rec.get("status") == "completed" and args.resume_training:
-            results.append((trial_id, rec["result"]))
-            continue
-        hp = rec["hp"] if rec and "hp" in rec and args.resume_training \
-            else searcher.suggest()
+            with lock:
+                results.append((trial_id, rec["result"]))
+            return
+        with lock:
+            hp = rec["hp"] if rec and "hp" in rec and args.resume_training \
+                else searcher.suggest()
+            state.record(trial_id, hp=hp, status="running")
         trial_dir = os.path.join(exp_dir, trial_id)
-        state.record(trial_id, hp=hp, status="running")
         logger.info("=== %s hp=%s", trial_id, hp)
 
         trial_args = copy.deepcopy(args)
@@ -120,23 +145,41 @@ def run_experiment(args) -> Dict[str, Any]:
                 hp["per_device_train_batch_size"])
 
         def on_eval(step, metrics, _tid=trial_id):
-            return asha.on_result(_tid, step, metrics)
+            with lock:
+                return asha.on_result(_tid, step, metrics)
 
+        devices = slots.get()
         try:
             result = run_lib.run_trial(
                 trial_args, hp=hp, trial_dir=trial_dir, on_evaluate=on_eval,
-                resume_override=bool(rec and args.resume_training))
-            state.record(trial_id, status="completed", result=result)
-            if metric in result:
-                searcher.observe(hp, result[metric])
-            results.append((trial_id, result))
+                resume_override=bool(rec and args.resume_training),
+                devices=devices if n_slots > 1 else None)
+            with lock:
+                state.record(trial_id, status="completed", result=result)
+                if metric in result:
+                    searcher.observe(hp, result[metric])
+                results.append((trial_id, result))
         except Exception as e:  # noqa: BLE001 — per-trial fault isolation
             logger.exception("%s errored", trial_id)
+            os.makedirs(trial_dir, exist_ok=True)
             with open(os.path.join(trial_dir, "error.txt"), "a") as f:
                 f.write(traceback.format_exc())
-            state.record(trial_id, status="errored", error=str(e))
-        with open(sched_path, "w") as f:
-            json.dump(asha.state_dict(), f)
+            with lock:
+                state.record(trial_id, status="errored", error=str(e))
+        finally:
+            slots.put(devices)
+            with lock:
+                with open(sched_path, "w") as f:
+                    json.dump(asha.state_dict(), f)
+
+    if n_slots == 1:
+        for i in range(args.num_samples):
+            run_one(i)
+    else:
+        logger.info("trial packing: %d concurrent trials x %d chips",
+                    n_slots, chips)
+        with ThreadPoolExecutor(max_workers=n_slots) as pool:
+            list(pool.map(run_one, range(args.num_samples)))
 
     return _finalize(exp_dir, state, results, metric, mode)
 

@@ -205,7 +205,8 @@ def build_data(args, tokenizer, model_cfg: WhisperConfig):
 def run_trial(args, hp: Optional[Dict[str, Any]] = None,
               trial_dir: Optional[str] = None,
               on_evaluate=None, max_steps_override: Optional[int] = None,
-              resume_override: Optional[bool] = None) -> Dict[str, Any]:
+              resume_override: Optional[bool] = None,
+              devices=None) -> Dict[str, Any]:
     """One full training run with optional hyperparameter overrides."""
     hp = dict(hp or {})
     setup_logging(logging.DEBUG if args.debug else logging.INFO)
@@ -217,7 +218,10 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
     cfg = built.cfg
 
     tp = max(args.tp, 1)
-    mesh = mesh_lib.create_mesh(data=-1, model=tp)
+    # `devices` restricts the trial to a chip subset — the TPU equivalent of
+    # the reference's fractional-GPU trial packing (gpus_per_trial=0.5,
+    # largev3_jun.config; SURVEY.md §7 "HPO x pjit topology")
+    mesh = mesh_lib.create_mesh(data=-1, model=tp, devices=devices)
     accum = args.gradient_accumulation_steps
 
     lr = float(hp.get("learning_rate", args.learning_rate))
