@@ -11,8 +11,7 @@ from __future__ import annotations
 import csv
 import json
 import logging
-import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 from .error_types import aggregate_error_profile
 

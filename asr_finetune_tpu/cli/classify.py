@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 
 from ..classify.error_types import (DEFAULT_ERROR_TYPES, aggregate_error_profile,
                                     classify_eval_results, load_error_types)

@@ -11,7 +11,6 @@ train_single_model.py:171-199).
 """
 from __future__ import annotations
 
-import argparse
 import json
 import os
 import sys

@@ -12,7 +12,6 @@ run one process per host.
 from __future__ import annotations
 
 import json
-import sys
 
 from .. import config as config_lib
 from ..hpo import controller

@@ -13,7 +13,6 @@ of user flags; no per-key dict deletions before splatting.
 from __future__ import annotations
 
 import argparse
-import shlex
 from typing import List, Optional, Sequence
 
 DATA_MODES = ("h5", "parquet", "parquet_h5", "train_parquet", "val_parquet",

@@ -12,9 +12,8 @@ from __future__ import annotations
 import csv
 import logging
 import os
-import struct
 import wave
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 import pyarrow as pa

@@ -13,7 +13,6 @@ per token; early exit when every sequence has emitted <|endoftext|>.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax

@@ -8,7 +8,7 @@ A C++ fast path (native/) is used automatically when built.
 """
 from __future__ import annotations
 
-from typing import Iterable, List, Sequence, Tuple
+from typing import Iterable, Sequence, Tuple
 
 import numpy as np
 

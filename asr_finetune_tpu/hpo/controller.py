@@ -25,7 +25,7 @@ import json
 import logging
 import os
 import traceback
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict
 
 import numpy as np
 

@@ -12,7 +12,7 @@ Capability parity with the reference's searcher modes
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 

@@ -9,8 +9,6 @@ trained without network access; HF checkpoints import via models/convert_hf.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 
 @dataclasses.dataclass(frozen=True)
 class WhisperConfig:

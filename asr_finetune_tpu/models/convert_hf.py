@@ -17,7 +17,7 @@ from typing import Any, Dict, Mapping
 import jax.numpy as jnp
 import numpy as np
 
-from .configs import WhisperConfig, WHISPER_CONFIGS
+from .configs import WhisperConfig
 
 
 def _np(x) -> np.ndarray:

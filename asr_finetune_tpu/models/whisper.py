@@ -20,7 +20,6 @@ Weight import from HF checkpoints: models/convert_hf.py.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

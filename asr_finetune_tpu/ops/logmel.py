@@ -20,8 +20,6 @@ A fused Pallas kernel for the same computation lives in ops/logmel_pallas.py.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

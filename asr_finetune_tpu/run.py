@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,6 @@ from .models import whisper as W
 from .models.configs import WhisperConfig, get_config
 from .models.convert_hf import load_pretrained
 from .models.tokenizer import load_tokenizer
-from .ops import logmel as logmel_ops
 from .parallel import mesh as mesh_lib
 from .parallel import sharding as sh
 from .training import lora as lora_lib

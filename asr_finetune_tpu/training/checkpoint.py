@@ -21,8 +21,6 @@ import json
 import os
 from typing import Any, Dict, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 Params = Dict[str, Any]

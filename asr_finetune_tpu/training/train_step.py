@@ -17,7 +17,6 @@ compiled XLA program:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -27,7 +26,7 @@ import optax
 from ..models import whisper as W
 from ..models.configs import WhisperConfig
 from ..ops import logmel as logmel_ops
-from ..ops.spec_augment import SpecAugmentConfig, spec_augment
+from ..ops.spec_augment import spec_augment
 from . import lora as lora_lib
 
 Params = Dict[str, Any]

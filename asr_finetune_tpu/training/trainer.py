@@ -21,10 +21,9 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Any, Callable, Dict, Iterator, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..evaluation import decode as decode_lib
@@ -33,7 +32,6 @@ from ..evaluation.normalize import normalize
 from ..models.configs import WhisperConfig
 from ..models.tokenizer import WhisperTokenizerBase
 from ..utils.logging_utils import MetricsLogger
-from . import optim as optim_lib
 from .checkpoint import CheckpointManager
 from .train_step import TrainStepConfig, make_eval_loss_step, make_train_step
 
