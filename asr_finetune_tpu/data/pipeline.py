@@ -99,7 +99,7 @@ class DataPipeline:
         seen = 0
         for i, idx_batch in enumerate(self.sampler.batches_from_step(start_step)):
             rows = self.reader.read(idx_batch)
-            if not rows:
+            if len(rows) == 0:  # rows may be a list OR an index array
                 continue
             batch = self.collator(rows)
             seen += len(rows)

@@ -241,13 +241,16 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
             alpha=float(hp.get("alpha", args.lora_alpha)),
             adalora=args.adalora,
             target_rank=(args.adalora_target_rank or None))
+    # parquet-materialized training data carries precomputed mel features,
+    # so the on-device frontend is bypassed for that mode
+    precomputed = get_data_mode(args.data_mode)["train"] == "parquet"
     step_cfg = TrainStepConfig(
         mode="peft" if args.peft else "full",
         accum_steps=accum,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         remat=args.gradient_checkpointing,
         label_smoothing=args.label_smoothing,
-        on_device_logmel=not args.host_logmel,
+        on_device_logmel=not args.host_logmel and not precomputed,
         n_mels=cfg.num_mel_bins,
         spec_augment=args.spec_augment,
         max_steps=args.max_steps,

@@ -1,0 +1,74 @@
+"""Transcribe CLI + training from materialized parquet through the driver."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from asr_finetune_tpu import config as config_lib
+from asr_finetune_tpu.data.hdf5 import Hdf5AudioReader, make_synthetic_dataset
+from asr_finetune_tpu.data.parquet import materialize_hdf5_to_parquet
+from asr_finetune_tpu.models.tokenizer import ByteFallbackTokenizer
+
+
+@pytest.fixture(scope="module")
+def assets(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pqmode")
+    make_synthetic_dataset(str(d / "data.h5"), n=48, seed=1,
+                           min_sec=0.5, max_sec=1.0)
+    reader = Hdf5AudioReader(str(d / "data.h5"))
+    tok = ByteFallbackTokenizer()
+    materialize_hdf5_to_parquet(reader, tok, str(d / "pq"), n_mels=80,
+                                shard_size=16)
+    return d
+
+
+def test_train_from_parquet_mode(assets, tmp_path):
+    from asr_finetune_tpu import run as run_lib
+
+    args = config_lib.parse_args([
+        "--model_type", "test-nano",
+        "--data_mode", "parquet",
+        "--dataset_name", str(assets / "pq"),
+        "--output_dir", str(tmp_path),
+        "--output_tag", "pq",
+        "--max_steps", "3", "--eval_steps", "3", "--save_steps", "3",
+        "--logging_steps", "3",
+        "--per_device_train_batch_size", "1",
+        "--per_device_eval_batch_size", "2",
+        "--val_split", "0.2",
+        "--generation_max_length", "12",
+        "--random_seed", "0",
+    ])
+    result = run_lib.run_trial(args)
+    assert result["final_step"] == 3
+    assert np.isfinite(result["eval_loss"])
+
+
+def test_transcribe_cli_wav_and_h5(assets, tmp_path):
+    import csv
+    import wave
+
+    from asr_finetune_tpu.cli import transcribe
+
+    # one wav file
+    rng = np.random.default_rng(0)
+    wav = tmp_path / "x.wav"
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((rng.standard_normal(8000) * 3000).astype("<i2").tobytes())
+
+    out = tmp_path / "out.jsonl"
+    results = transcribe.main([
+        "--inputs", str(wav), str(assets / "data.h5"),
+        "--output", str(out),
+        "--model_type", "test-nano",
+        "--per_device_eval_batch_size", "4",
+        "--generation_max_length", "10",
+    ])
+    assert len(results) == 1 + 48
+    lines = out.read_text().strip().split("\n")
+    assert len(lines) == len(results)
+    assert json.loads(lines[0])["file"] == str(wav)
