@@ -86,6 +86,7 @@ def main(argv=None):
             if len(names) == B:
                 flush(names, audios)
         else:
+            flush(names, audios)  # keep output order: pending wavs first
             reader = Hdf5AudioReader(path)
             for i in range(0, len(reader), B):
                 rows = reader.read(range(i, min(i + B, len(reader))))
