@@ -29,6 +29,10 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 LABEL_LEN = int(os.environ.get("BENCH_LABEL_LEN", "192"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+# BENCH_MODE=peft (headline, default) | full — `full` measures the full
+# fine-tune step with on-device SpecAugment (BASELINE.json config #2 shape;
+# use BENCH_MODEL=small for that config)
+MODE = os.environ.get("BENCH_MODE", "peft")
 
 
 def main():
@@ -42,20 +46,28 @@ def main():
 
     cfg = get_config(MODEL)
     rng = jax.random.PRNGKey(0)
-
-    # frozen base in bf16 (the reference freezes an int8 base; bf16 keeps
-    # MXU-native matmuls and fits v5e HBM comfortably)
     params = W.init_params(rng, cfg)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-
-    lcfg = lora_lib.LoraConfig(rank=8, alpha=16.0)
-    adapters = lora_lib.init_adapters(jax.random.PRNGKey(1), cfg, lcfg)
-
     tx = optim.make_optimizer(1e-4, max_steps=1000)
-    tcfg = TrainStepConfig(mode="peft", compute_dtype=jnp.bfloat16,
-                           remat=True, on_device_logmel=True,
-                           n_mels=cfg.num_mel_bins, lora=lcfg, max_steps=1000)
-    state = make_train_state(params, tx, adapters=adapters)
+
+    if MODE == "full":
+        # full fine-tune: fp32 master params, on-device SpecAugment
+        tcfg = TrainStepConfig(mode="full", compute_dtype=jnp.bfloat16,
+                               remat=True, on_device_logmel=True,
+                               spec_augment=True,
+                               n_mels=cfg.num_mel_bins, max_steps=1000)
+        state = make_train_state(params, tx)
+        lcfg = None
+    else:
+        # frozen base in bf16 (the reference freezes an int8 base; bf16 keeps
+        # MXU-native matmuls and fits v5e HBM comfortably)
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        lcfg = lora_lib.LoraConfig(rank=8, alpha=16.0)
+        adapters = lora_lib.init_adapters(jax.random.PRNGKey(1), cfg, lcfg)
+        tcfg = TrainStepConfig(mode="peft", compute_dtype=jnp.bfloat16,
+                               remat=True, on_device_logmel=True,
+                               n_mels=cfg.num_mel_bins, lora=lcfg,
+                               max_steps=1000)
+        state = make_train_state(params, tx, adapters=adapters)
     step = jax.jit(make_train_step(cfg, tx, tcfg), donate_argnums=(0,))
 
     host_rng = np.random.default_rng(0)
@@ -79,8 +91,10 @@ def main():
 
     n_chips = jax.local_device_count()
     utt_per_sec_per_chip = BATCH * STEPS / dt / n_chips
+    mode_desc = "full fine-tune + SpecAugment" if MODE == "full" \
+        else "LoRA fine-tune"
     print(json.dumps({
-        "metric": f"utterances/sec/chip ({MODEL} LoRA fine-tune, bs={BATCH}, "
+        "metric": f"utterances/sec/chip ({MODEL} {mode_desc}, bs={BATCH}, "
                   f"labels={LABEL_LEN}, on-device log-mel)",
         "value": round(utt_per_sec_per_chip, 3),
         "unit": "utt/s/chip",
