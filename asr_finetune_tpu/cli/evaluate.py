@@ -86,6 +86,7 @@ def main(argv=None):
     ecfg = EvalConfig(language=args.target_language, task=args.task,
                       max_length=args.generation_max_length,
                       num_beams=args.generation_num_beams,
+                      suppress_tokens=built.suppress_tokens,
                       batch_size=B, output_dir=ens.eval_output_dir,
                       compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     ev = OfflineEvaluator(built.cfg, params, built.tokenizer, ecfg, adapters)

@@ -17,6 +17,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models import whisper as W
 from ..models.configs import WhisperConfig
@@ -24,22 +25,35 @@ from ..models.configs import WhisperConfig
 Params = Dict[str, Any]
 
 
+def _suppress_bias(vocab: int, suppress_tokens: Optional[Sequence[int]]):
+    """Additive logits bias: -inf at suppressed ids (HF SuppressTokens
+    processor — whisper's generation_config.suppress_tokens list)."""
+    if not suppress_tokens:
+        return None
+    bias = np.zeros((vocab,), np.float32)
+    bias[np.asarray(list(suppress_tokens), np.int64)] = -np.inf
+    return jnp.asarray(bias)
+
+
 def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
                   forced_tokens: Sequence[int], max_length: int = 225,
                   adapters: Optional[Params] = None,
                   compute_dtype=jnp.bfloat16,
-                  suppress_blank_eot: bool = False) -> Tuple[jax.Array, jax.Array]:
+                  suppress_tokens: Optional[Sequence[int]] = None
+                  ) -> Tuple[jax.Array, jax.Array]:
     """Returns (tokens (B, max_length), lengths (B,)).
 
     tokens[:, 0] is <|startoftranscript|>; forced_tokens is the FULL prefix
     including sot (tokenizer.prefix_tokens()). Positions past the emitted
-    <|endoftext|> are padded with eot.
+    <|endoftext|> are padded with eot. suppress_tokens get -inf logits
+    (whisper's punctuation/special suppression list).
     """
     B = mel.shape[0]
     eot = cfg.eos_token_id
     forced = jnp.asarray(list(forced_tokens), jnp.int32)
     n_forced = int(forced.shape[0])
     assert n_forced >= 1, "forced_tokens must at least contain sot"
+    bias = _suppress_bias(cfg.vocab_size, suppress_tokens)
 
     enc_out = W.encode(params, mel, cfg, adapters, compute_dtype,
                        attn_impl="auto")  # inference: flash where it wins
@@ -59,6 +73,8 @@ def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
             tokens, t, axis=1, keepdims=False)
         logits, cache = W.decode_step(params, cur, t, cache, cross_kv, cfg,
                                       adapters, compute_dtype)
+        if bias is not None:
+            logits = logits + bias
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # forced prefix overrides the argmax while t+1 < n_forced
         in_prefix = (t + 1) < n_forced
@@ -82,7 +98,9 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
                 forced_tokens: Sequence[int], max_length: int = 225,
                 num_beams: int = 4, length_penalty: float = 1.0,
                 adapters: Optional[Params] = None,
-                compute_dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
+                compute_dtype=jnp.bfloat16,
+                suppress_tokens: Optional[Sequence[int]] = None
+                ) -> Tuple[jax.Array, jax.Array]:
     """Beam search via flattened (B*num_beams) batch; returns best beam's
     (tokens (B, max_length), lengths (B,)).
 
@@ -96,6 +114,7 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     forced = jnp.asarray(list(forced_tokens), jnp.int32)
     n_forced = int(forced.shape[0])
     NEG = jnp.float32(-1e9)
+    bias = _suppress_bias(cfg.vocab_size, suppress_tokens)
 
     enc_out = W.encode(params, mel, cfg, adapters, compute_dtype)
     enc_out = jnp.repeat(enc_out, K, axis=0)          # (B*K, S, d)
@@ -120,6 +139,8 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
             tokens.reshape(B * K, max_length), t, axis=1, keepdims=False)
         logits, new_cache = W.decode_step(params, cur, t, cache, cross_kv, cfg,
                                           adapters, compute_dtype)
+        if bias is not None:
+            logits = logits + bias
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         logp = logp.reshape(B, K, -1)
         V = logp.shape[-1]
@@ -191,14 +212,17 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
 
 def make_decode_fn(cfg: WhisperConfig, forced_tokens: Sequence[int],
                    max_length: int = 225, num_beams: int = 1,
-                   compute_dtype=jnp.bfloat16, use_adapters: bool = False):
+                   compute_dtype=jnp.bfloat16,
+                   suppress_tokens: Optional[Sequence[int]] = None):
     """jit-wrapped decode entry used by the trainer's eval and offline eval."""
     if num_beams <= 1:
         def fn(params, mel, adapters=None):
             return greedy_decode(params, mel, cfg, forced_tokens, max_length,
-                                 adapters, compute_dtype)
+                                 adapters, compute_dtype,
+                                 suppress_tokens=suppress_tokens)
     else:
         def fn(params, mel, adapters=None):
             return beam_decode(params, mel, cfg, forced_tokens, max_length,
-                               num_beams, 1.0, adapters, compute_dtype)
+                               num_beams, 1.0, adapters, compute_dtype,
+                               suppress_tokens=suppress_tokens)
     return jax.jit(fn)

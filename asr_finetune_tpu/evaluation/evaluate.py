@@ -39,6 +39,7 @@ class EvalConfig:
     max_length: int = 225
     num_beams: int = 1
     return_timestamps: bool = False
+    suppress_tokens: Optional[list] = None
     batch_size: int = 8
     checkpoint_every: int = 100   # batches, reference evaluate_peft.py:391-418
     output_dir: str = "./eval_out"
@@ -59,7 +60,8 @@ class OfflineEvaluator:
         forced = tokenizer.prefix_tokens(cfg.language, cfg.task,
                                          predict_timestamps=cfg.return_timestamps)
         self._decode = decode_lib.make_decode_fn(
-            model_cfg, forced, cfg.max_length, cfg.num_beams, cfg.compute_dtype)
+            model_cfg, forced, cfg.max_length, cfg.num_beams, cfg.compute_dtype,
+            suppress_tokens=cfg.suppress_tokens)
         os.makedirs(cfg.output_dir, exist_ok=True)
         self._ckpt_path = os.path.join(cfg.output_dir, "eval_checkpoint.json")
 

@@ -47,6 +47,7 @@ class BuiltModel:
     params: Dict[str, Any]
     adapters: Optional[Dict[str, Any]]
     tokenizer: Any
+    suppress_tokens: Optional[list] = None  # whisper generation_config list
 
 
 def build_model(args, hp: Optional[Dict[str, Any]] = None) -> BuiltModel:
@@ -71,6 +72,15 @@ def build_model(args, hp: Optional[Dict[str, Any]] = None) -> BuiltModel:
             sot_token_id=tokenizer.special.sot,
             pad_token_id=tokenizer.special.pad)
 
+    suppress = None
+    if args.model_path:
+        import json as json_lib
+        gen_cfg_path = os.path.join(args.model_path, "generation_config.json")
+        if os.path.exists(gen_cfg_path):
+            with open(gen_cfg_path) as f:
+                gen_cfg = json_lib.load(f)
+            suppress = gen_cfg.get("suppress_tokens")
+
     adapters = None
     if args.peft:
         lcfg = lora_lib.LoraConfig(
@@ -86,7 +96,7 @@ def build_model(args, hp: Optional[Dict[str, Any]] = None) -> BuiltModel:
             params = quant.quantize_tree_int8(params)
         else:
             params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    return BuiltModel(cfg, params, adapters, tokenizer)
+    return BuiltModel(cfg, params, adapters, tokenizer, suppress)
 
 
 def _resolve_path(args, name: str) -> str:
@@ -294,6 +304,7 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
         eval_num_shards=num_shards,
         compute_wer=not args.skip_wer_eval,
         return_timestamps=args.return_timestamps,
+        suppress_tokens=built.suppress_tokens,
         output_dir=out_dir,
         seed=args.random_seed)
 

@@ -57,6 +57,7 @@ class TrainerConfig:
     eval_max_batches: int = 0        # 0 = whole shard
     compute_wer: bool = True
     return_timestamps: bool = False   # reference whisper_models.py:44-48
+    suppress_tokens: Optional[List[int]] = None  # whisper generation_config
     output_dir: str = "./output"
     seed: int = 42
 
@@ -105,7 +106,8 @@ class Trainer:
                                          predict_timestamps=cfg.return_timestamps)
         self._decode = decode_lib.make_decode_fn(
             model_cfg, forced, cfg.generation_max_length,
-            cfg.generation_num_beams, step_cfg.compute_dtype)
+            cfg.generation_num_beams, step_cfg.compute_dtype,
+            suppress_tokens=cfg.suppress_tokens)
         self.last_eval_metrics: Dict[str, float] = {}
 
     # ------------------------------------------------------------------ eval

@@ -107,3 +107,17 @@ def test_beam_improves_or_matches_sequence_logprob(hf_pair):
     g_lp = seq_logprob(g_tok, g_len)
     b_lp = seq_logprob(b_tok, b_len)
     assert (b_lp >= g_lp - 1e-4).all(), (g_lp, b_lp)
+
+
+def test_suppress_tokens_changes_argmax(hf_pair):
+    _, params, cfg = hf_pair
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal((1, 300, cfg.num_mel_bins)).astype(np.float32))
+    forced = [3, 7]
+    t1, _ = D.greedy_decode(params, mel, cfg, forced, 8,
+                            compute_dtype=jnp.float32)
+    first_free = int(np.asarray(t1)[0, len(forced)])
+    t2, _ = D.greedy_decode(params, mel, cfg, forced, 8,
+                            compute_dtype=jnp.float32,
+                            suppress_tokens=[first_free])
+    assert int(np.asarray(t2)[0, len(forced)]) != first_free
