@@ -61,3 +61,15 @@ def test_shard_selection_is_step_seeded(tmp_path):
     assert s1 == s2  # deterministic per step
     shards = {tr.evaluate(step=s)["eval_shard"] for s in range(12)}
     assert len(shards) > 1  # varies across steps
+
+
+def test_eval_with_beam_search(tmp_path):
+    tr = _mk_trainer(tmp_path, ["hallo welt", "guten tag"])
+    tr.cfg.generation_num_beams = 2
+    from asr_finetune_tpu.evaluation import decode as decode_lib
+    forced = tr.tokenizer.prefix_tokens(tr.cfg.language, tr.cfg.task)
+    tr._decode = decode_lib.make_decode_fn(
+        CFG, forced, tr.cfg.generation_max_length, num_beams=2,
+        compute_dtype=jnp.float32)
+    m = tr.evaluate(step=1)
+    assert np.isfinite(m["eval_wer"])
