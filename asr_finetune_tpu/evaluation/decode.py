@@ -39,9 +39,13 @@ def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
                   forced_tokens: Sequence[int], max_length: int = 225,
                   adapters: Optional[Params] = None,
                   compute_dtype=jnp.bfloat16,
-                  suppress_tokens: Optional[Sequence[int]] = None
-                  ) -> Tuple[jax.Array, jax.Array]:
+                  suppress_tokens: Optional[Sequence[int]] = None,
+                  kv_int8: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Returns (tokens (B, max_length), lengths (B,)).
+
+    kv_int8 quantizes the precomputed cross-attention K/V to int8, halving
+    the dominant per-step HBM traffic of autoregressive decoding
+    (W.quantize_cross_kv).
 
     tokens[:, 0] is <|startoftranscript|>; forced_tokens is the FULL prefix
     including sot (tokenizer.prefix_tokens()). Positions past the emitted
@@ -58,6 +62,8 @@ def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     enc_out = W.encode(params, mel, cfg, adapters, compute_dtype,
                        attn_impl="auto")  # inference: flash where it wins
     cross_kv = W.precompute_cross_kv(params, enc_out, cfg, adapters)
+    if kv_int8:
+        cross_kv = W.quantize_cross_kv(cross_kv)
     cache = W.init_cache(cfg, B, max_length, dtype=compute_dtype)
 
     tokens0 = jnp.full((B, max_length), eot, jnp.int32)
@@ -99,8 +105,8 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
                 num_beams: int = 4, length_penalty: float = 1.0,
                 adapters: Optional[Params] = None,
                 compute_dtype=jnp.bfloat16,
-                suppress_tokens: Optional[Sequence[int]] = None
-                ) -> Tuple[jax.Array, jax.Array]:
+                suppress_tokens: Optional[Sequence[int]] = None,
+                kv_int8: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Beam search via flattened (B*num_beams) batch; returns best beam's
     (tokens (B, max_length), lengths (B,)).
 
@@ -119,6 +125,8 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     enc_out = W.encode(params, mel, cfg, adapters, compute_dtype)
     enc_out = jnp.repeat(enc_out, K, axis=0)          # (B*K, S, d)
     cross_kv = W.precompute_cross_kv(params, enc_out, cfg, adapters)
+    if kv_int8:
+        cross_kv = W.quantize_cross_kv(cross_kv)
     cache = W.init_cache(cfg, B * K, max_length, dtype=compute_dtype)
 
     tokens0 = jnp.full((B, K, max_length), eot, jnp.int32).at[:, :, 0].set(forced[0])
@@ -213,16 +221,19 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
 def make_decode_fn(cfg: WhisperConfig, forced_tokens: Sequence[int],
                    max_length: int = 225, num_beams: int = 1,
                    compute_dtype=jnp.bfloat16,
-                   suppress_tokens: Optional[Sequence[int]] = None):
+                   suppress_tokens: Optional[Sequence[int]] = None,
+                   kv_int8: bool = False):
     """jit-wrapped decode entry used by the trainer's eval and offline eval."""
     if num_beams <= 1:
         def fn(params, mel, adapters=None):
             return greedy_decode(params, mel, cfg, forced_tokens, max_length,
                                  adapters, compute_dtype,
-                                 suppress_tokens=suppress_tokens)
+                                 suppress_tokens=suppress_tokens,
+                                 kv_int8=kv_int8)
     else:
         def fn(params, mel, adapters=None):
             return beam_decode(params, mel, cfg, forced_tokens, max_length,
                                num_beams, 1.0, adapters, compute_dtype,
-                               suppress_tokens=suppress_tokens)
+                               suppress_tokens=suppress_tokens,
+                               kv_int8=kv_int8)
     return jax.jit(fn)

@@ -342,6 +342,28 @@ def init_cache(cfg: WhisperConfig, batch: int, max_len: int,
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def quantize_cross_kv(cross_kv: Params) -> Params:
+    """Opt-in int8 cross-KV for decoding: every autoregressive step re-reads
+    the full (L, B, S, H, hd) cross K/V (~2 GB at large-v3 bs 8), which is
+    the measured decode bottleneck; int8 with per-(batch, head) scales
+    halves that traffic. Dequantization happens in decode_step."""
+    out = {}
+    for name in ("k", "v"):
+        x = cross_kv[name].astype(jnp.float32)           # (L, B, S, H, hd)
+        absmax = jnp.max(jnp.abs(x), axis=(2, 4), keepdims=True)
+        scale = jnp.maximum(absmax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+        out[name + "_q8"] = q
+        out[name + "_scale"] = scale.astype(jnp.float32)
+    return out
+
+
+def _maybe_dequant_kv(xs_k, xs_scale, dtype):
+    if xs_scale is None:
+        return xs_k.astype(dtype)
+    return xs_k.astype(dtype) * xs_scale.astype(dtype)
+
+
 def precompute_cross_kv(params: Params, enc_out: jax.Array, cfg: WhisperConfig,
                         adapters: Optional[Params] = None) -> Params:
     """Cross-attention K/V once per utterance: (L, B, S, H, hd) each."""
@@ -381,9 +403,15 @@ def decode_step(params: Params, token: jax.Array, pos: jax.Array,
     # positions 0..pos are valid
     valid = (jnp.arange(max_len) <= pos)[None, None, None, :]  # (1,1,1,maxT)
     dec_adapters = adapters.get("decoder") if adapters else None
+    kv_quant = "k_q8" in cross_kv
 
     def layer(x, xs):
-        lp, la, ck, cv, xk, xv = xs
+        if kv_quant:
+            lp, la, ck, cv, xk_q, xk_s, xv_q, xv_s = xs
+            xk = _maybe_dequant_kv(xk_q, xk_s, x.dtype)
+            xv = _maybe_dequant_kv(xv_q, xv_s, x.dtype)
+        else:
+            lp, la, ck, cv, xk, xv = xs
         sa_l = la.get("self_attn") if la else None
         ca_l = la.get("cross_attn") if la else None
         lq = sa_l.get("q") if sa_l else None
@@ -410,11 +438,16 @@ def decode_step(params: Params, token: jax.Array, pos: jax.Array,
         return x, (ck, cv)
 
     layers = dec["layers"]
-    if dec_adapters is None:
-        xs = (layers, cache["k"], cache["v"], cross_kv["k"], cross_kv["v"])
-        body = lambda c, t: layer(c, (t[0], None, t[1], t[2], t[3], t[4]))
+    if kv_quant:
+        kv_parts = (cross_kv["k_q8"], cross_kv["k_scale"],
+                    cross_kv["v_q8"], cross_kv["v_scale"])
     else:
-        xs = (layers, dec_adapters, cache["k"], cache["v"], cross_kv["k"], cross_kv["v"])
+        kv_parts = (cross_kv["k"], cross_kv["v"])
+    if dec_adapters is None:
+        xs = (layers, cache["k"], cache["v"]) + kv_parts
+        body = lambda c, t: layer(c, (t[0], None) + t[1:])
+    else:
+        xs = (layers, dec_adapters, cache["k"], cache["v"]) + kv_parts
         body = layer
     x, (new_k, new_v) = jax.lax.scan(body, x, xs)
 

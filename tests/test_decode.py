@@ -121,3 +121,18 @@ def test_suppress_tokens_changes_argmax(hf_pair):
                             compute_dtype=jnp.float32,
                             suppress_tokens=[first_free])
     assert int(np.asarray(t2)[0, len(forced)]) != first_free
+
+
+def test_kv_int8_decode_close_to_fp(hf_pair):
+    _, params, cfg = hf_pair
+    rng = np.random.default_rng(4)
+    mel = jnp.asarray(rng.standard_normal((2, 300, cfg.num_mel_bins)).astype(np.float32))
+    forced = [3, 7]
+    t_fp, _ = D.greedy_decode(params, mel, cfg, forced, MAXLEN,
+                              compute_dtype=jnp.float32)
+    t_q8, _ = D.greedy_decode(params, mel, cfg, forced, MAXLEN,
+                              compute_dtype=jnp.float32, kv_int8=True)
+    # int8 KV is an approximation; on this random model the token streams
+    # should still agree at the vast majority of positions
+    agree = (np.asarray(t_fp) == np.asarray(t_q8)).mean()
+    assert agree > 0.8, agree
