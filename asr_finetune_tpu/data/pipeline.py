@@ -117,6 +117,35 @@ class DataPipeline:
                 yield self.collator(rows)
 
 
+def make_global_batch(batch: Dict[str, np.ndarray], sharding,
+                      accum_steps: int = 1) -> Dict[str, Any]:
+    """Multi-host feed: each process contributes its LOCAL rows and the
+    result is one global jax.Array per leaf — the jax.distributed
+    equivalent of the reference's `ray.train.get_dataset_shard` +
+    object-store block shipping (trainers.py:785-791). The local batch is
+    this process's shard (IndexSampler already splits indices by
+    process_index), so global batch = local batch × process_count.
+    """
+    import jax as _jax
+
+    out: Dict[str, Any] = {}
+    pc = _jax.process_count()
+    for k, v in batch.items():
+        if k in NON_DEVICE_KEYS:
+            out[k] = v
+            continue
+        if accum_steps > 1:
+            B = v.shape[0]
+            assert B % accum_steps == 0, (B, accum_steps)
+            v = v.reshape((accum_steps, B // accum_steps) + v.shape[1:])
+            global_shape = (accum_steps, v.shape[1] * pc) + v.shape[2:]
+        else:
+            global_shape = (v.shape[0] * pc,) + v.shape[1:]
+        out[k] = _jax.make_array_from_process_local_data(
+            sharding, v, global_shape)
+    return out
+
+
 def device_prefetch(it: Iterator[Dict[str, np.ndarray]],
                     sharding: Optional[Any] = None, size: int = 2,
                     accum_steps: int = 1) -> Iterator[Dict[str, Any]]:
