@@ -167,10 +167,16 @@ def device_prefetch(it: Iterator[Dict[str, np.ndarray]],
     t = threading.Thread(target=produce, daemon=True)
     t.start()
 
+    multihost = jax.process_count() > 1
+
     while True:
         b = q.get()
         if b is _END:
             return
+        if multihost and sharding is not None:
+            # each process feeds its local shard of the global batch
+            yield make_global_batch(b, sharding, accum_steps)
+            continue
         out: Dict[str, Any] = {}
         for k, v in b.items():
             if k in NON_DEVICE_KEYS:

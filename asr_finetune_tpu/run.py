@@ -153,7 +153,11 @@ def build_data(args, tokenizer, model_cfg: WhisperConfig):
     shards = np.array_split(val_indices, num_shards)
 
     def train_iter_factory(mesh, accum):
-        B = args.per_device_train_batch_size * mesh.shape[mesh_lib.DATA_AXIS]
+        # per-PROCESS batch rows: each host feeds its local shard and
+        # make_global_batch assembles the global array (multi-host), so
+        # global batch = per_device x data-axis size either way
+        B = (args.per_device_train_batch_size
+             * mesh.shape[mesh_lib.DATA_AXIS]) // jax.process_count()
         reader = train_reader
         collator = make_collator(reader)
         if isinstance(collator, ParquetCollator):
