@@ -75,8 +75,7 @@ def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
 
     def body(carry):
         t, tokens, cache, finished = carry
-        cur = tokens[:, t] if False else jax.lax.dynamic_index_in_dim(
-            tokens, t, axis=1, keepdims=False)
+        cur = jax.lax.dynamic_index_in_dim(tokens, t, axis=1, keepdims=False)
         logits, cache = W.decode_step(params, cur, t, cache, cross_kv, cfg,
                                       adapters, compute_dtype)
         if bias is not None:

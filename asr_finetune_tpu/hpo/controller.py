@@ -113,6 +113,10 @@ def run_experiment(args) -> Dict[str, Any]:
 
     all_devices = jax.local_devices()
     chips = int(args.chips_per_trial) if args.chips_per_trial else 0
+    if jax.process_count() > 1:
+        # multi-host: every process must join every global program, so
+        # trials serialize over the full pod (packing is single-host only)
+        chips = 0
     if chips and chips < len(all_devices):
         n_slots = min(len(all_devices) // chips,
                       max(args.max_concurrent_trials, 1))

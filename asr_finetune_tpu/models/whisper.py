@@ -318,17 +318,23 @@ def decode_train(params: Params, tokens: jax.Array, enc_out: jax.Array,
 def forward(params: Params, mel: jax.Array, tokens: jax.Array,
             cfg: WhisperConfig, adapters: Optional[Params] = None,
             compute_dtype: jnp.dtype = jnp.bfloat16,
-            remat: bool = False, attn_impl: str = "auto") -> jax.Array:
+            remat: bool = False, attn_impl: str = "auto",
+            decoder_attn_impl: Optional[str] = None) -> jax.Array:
     """Full teacher-forced forward: (mel, decoder_input_ids) → logits.
 
-    attn_impl: "xla" | "flash" | "auto". Training uses "xla" by default —
-    flash's fused backward measured SLOWER than XLA attention grad on v5e
-    (8.0 vs 18.3 utt/s on the large-v3 LoRA step); inference-only paths use
-    flash where it wins (ops/attention.py).
+    attn_impl selects the ENCODER attention ("xla" | "flash" | "auto"),
+    decoder_attn_impl the decoder's (defaults to attn_impl). Measured on
+    v5e (large-v3 LoRA step, bs 8): encoder-flash + decoder-XLA is the
+    winning split — 21.2 utt/s vs 18.5 all-XLA vs 18.0 all-flash. The
+    encoder's 1500-frame softmax materializes f32 (B,H,1500,1500) tensors
+    under XLA attention (the profiled backward bottleneck), which flash
+    avoids; the decoder's short padded sequences don't amortize flash's
+    pad/transpose overhead.
     """
     enc_out = encode(params, mel, cfg, adapters, compute_dtype, remat, attn_impl)
+    dec_impl = attn_impl if decoder_attn_impl is None else decoder_attn_impl
     return decode_train(params, tokens, enc_out, cfg, adapters, compute_dtype,
-                        remat, attn_impl)
+                        remat, dec_impl)
 
 
 # ---------------------------------------------------------------------------

@@ -42,11 +42,10 @@ class TrainStepConfig:
     on_device_logmel: bool = False       # batch carries "audio" not "mel"
     n_mels: int = 80
     spec_augment: bool = False           # on-device SpecAugment (train only)
-    attn_impl: str = "xla"               # in-step flash (even with tuned
-                                         # blocks) loses to XLA attention due
-                                         # to per-layer BTHd->BHTd transposes
-                                         # under remat; inference encode uses
-                                         # flash where it wins
+    attn_impl: str = "auto"              # encoder: flash where available
+    decoder_attn_impl: str = "xla"       # decoder: short padded seqs don't
+                                         # amortize flash pad/transpose cost
+                                         # (see models/whisper.py forward)
     max_steps: int = 10000
     lora: Optional[lora_lib.LoraConfig] = None
 
@@ -85,7 +84,8 @@ def make_loss_fn(model_cfg: WhisperConfig, cfg: TrainStepConfig):
             mel = spec_augment(rng, mel)
         logits = W.forward(params, mel, batch["decoder_input_ids"], model_cfg,
                            adapters=adapters, compute_dtype=cfg.compute_dtype,
-                           remat=cfg.remat, attn_impl=cfg.attn_impl)
+                           remat=cfg.remat, attn_impl=cfg.attn_impl,
+                           decoder_attn_impl=cfg.decoder_attn_impl)
         loss, n_tok = W.cross_entropy(logits, batch["labels"], cfg.label_smoothing)
         metrics = {"loss": loss, "tokens": n_tok}
         if cfg.mode == "peft" and cfg.lora and cfg.lora.adalora \
