@@ -129,6 +129,14 @@ def init_params(rng: jax.Array, cfg: WhisperConfig) -> Params:
 # building blocks
 # ---------------------------------------------------------------------------
 
+def _ckpt(fn):
+    """Layer rematerialization with matmul outputs saved: recomputing the
+    cheap elementwise/softmax ops but not the dots measured +4% on the
+    large-v3 LoRA step (22.2 vs 21.3 utt/s on v5e) at bs 8."""
+    return jax.checkpoint(
+        fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
+
 def _pet(dtype) -> jnp.dtype:
     """Accumulation dtype for matmuls: fp32, unless already wider (x64 tests)."""
     return jnp.promote_types(dtype, jnp.float32)
@@ -260,7 +268,7 @@ def encode(params: Params, mel: jax.Array, cfg: WhisperConfig,
         x = x + mlp_block(h, lp["mlp"])
         return x, None
 
-    body = jax.checkpoint(layer) if remat else layer
+    body = _ckpt(layer) if remat else layer
     xs = (enc["layers"], enc_adapters)
     if enc_adapters is None:
         # scan can't mix None xs with real ones; use a two-arg closure instead
@@ -301,7 +309,7 @@ def decode_train(params: Params, tokens: jax.Array, enc_out: jax.Array,
         x = x + mlp_block(h, lp["mlp"])
         return x, None
 
-    body = jax.checkpoint(layer) if remat else layer
+    body = _ckpt(layer) if remat else layer
     if dec_adapters is None:
         body2 = (lambda c, lp: body(c, (lp, None)))
         x, _ = jax.lax.scan(body2, x, dec["layers"])
