@@ -51,8 +51,14 @@ def main(argv=None):
 
     if ens.checkpoint_dir:
         mgr = CheckpointManager(ens.checkpoint_dir, adapter_only=args.peft)
-        tx = optim_lib.make_optimizer(1e-4, max_steps=max(args.max_steps, 1))
-        state = make_train_state(params, tx, adapters=adapters)
+        # the optimizer must match training's (masked for PEFT) so the
+        # restored opt_state template has the same structure
+        freeze = (optim_lib.adapter_freeze_mask(adapters, args.adalora)
+                  if adapters is not None else None)
+        tx = optim_lib.make_optimizer(1e-4, max_steps=max(args.max_steps, 1),
+                                      trainable_mask=freeze)
+        state = make_train_state(params, tx, adapters=adapters,
+                                 adalora=bool(args.peft and args.adalora))
         step = None
         if ens.checkpoint_step >= 0:
             step = ens.checkpoint_step
@@ -61,6 +67,9 @@ def main(argv=None):
         state = mgr.restore(state, step=step)
         params = state["params"] if not args.peft else params
         adapters = state.get("adapters", adapters)
+        if adapters is not None and state.get("rank_mask") is not None:
+            from ..training import lora as lora_lib
+            adapters = lora_lib.apply_rank_mask(adapters, state["rank_mask"])
         logger.info("restored checkpoint step %s from %s",
                     step if step is not None else mgr.latest_step(),
                     ens.checkpoint_dir)

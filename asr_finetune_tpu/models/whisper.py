@@ -154,12 +154,17 @@ def layer_norm(x: jax.Array, ln: Params, eps: float = 1e-5) -> jax.Array:
     return y.astype(dtype)
 
 
-def dense(x: jax.Array, p: Params, lora: Optional[Params] = None) -> jax.Array:
+def dense(x: jax.Array, p: Params, lora: Optional[Params] = None,
+          dropout_rate: float = 0.0,
+          dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """x @ W (+ b) with an optional low-rank adapter delta.
 
     Adapter format (see training/lora.py): {"a": (d_in, r), "e": (r,),
     "b": (r, d_out), "scaling": ()} computing scaling * ((x@a)*e) @ b —
-    plain LoRA with e == 1, AdaLoRA's SVD form otherwise.
+    plain LoRA with e == 1, AdaLoRA's SVD form otherwise. When a dropout
+    rng is given (training), the ADAPTER INPUT is dropped out, matching
+    peft's lora_dropout (reference trains with lora_dropout=0.05,
+    trainers.py:527); the frozen base path never sees dropout.
 
     Accepts int8-quantized weights ({"w_q8", "w_scale"}, ops/quant.py) for
     the frozen PEFT base; XLA fuses the dequant into the matmul operand.
@@ -173,7 +178,11 @@ def dense(x: jax.Array, p: Params, lora: Optional[Params] = None) -> jax.Array:
         a = lora["a"].astype(x.dtype)
         b = lora["b"].astype(x.dtype)
         e = lora["e"].astype(x.dtype)
-        y = y + ((x @ a) * e) @ b * lora["scaling"].astype(x.dtype)
+        xa = x
+        if dropout_rng is not None and dropout_rate > 0.0:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, x.shape)
+            xa = jnp.where(keep, x / (1.0 - dropout_rate), 0.0).astype(x.dtype)
+        y = y + ((xa @ a) * e) @ b * lora["scaling"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -205,7 +214,9 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
 def mha(x: jax.Array, kv_src: jax.Array, p: Params, heads: int,
         mask: Optional[jax.Array] = None,
         lora: Optional[Params] = None,
-        causal: bool = False, impl: str = "auto") -> jax.Array:
+        causal: bool = False, impl: str = "auto",
+        lora_dropout: float = 0.0,
+        dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """Full (non-incremental) multi-head attention.
 
     Dispatches to Pallas flash attention on TPU for long unmasked/causal
@@ -213,9 +224,12 @@ def mha(x: jax.Array, kv_src: jax.Array, p: Params, heads: int,
     """
     lq = lora.get("q") if lora else None
     lv = lora.get("v") if lora else None
-    q = _split_heads(dense(x, p["q"], lq), heads)
+    rq = rv = None
+    if dropout_rng is not None and lora_dropout > 0.0:
+        rq, rv = jax.random.split(dropout_rng)
+    q = _split_heads(dense(x, p["q"], lq, lora_dropout, rq), heads)
     k = _split_heads(dense(kv_src, p["k"]), heads)
-    v = _split_heads(dense(kv_src, p["v"], lv), heads)
+    v = _split_heads(dense(kv_src, p["v"], lv, lora_dropout, rv), heads)
     out = _attention_dispatch(q, k, v, mask, causal=causal, impl=impl)
     return dense(_merge_heads(out), p["o"])
 
@@ -248,7 +262,9 @@ def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Array:
 def encode(params: Params, mel: jax.Array, cfg: WhisperConfig,
            adapters: Optional[Params] = None,
            compute_dtype: jnp.dtype = jnp.bfloat16,
-           remat: bool = False, attn_impl: str = "auto") -> jax.Array:
+           remat: bool = False, attn_impl: str = "auto",
+           lora_dropout: float = 0.0,
+           dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """mel (B, frames, n_mels) → encoder states (B, frames//2, d_model)."""
     enc = params["encoder"]
     x = _gelu(_conv1d(mel, enc["conv1"]["w"], enc["conv1"]["b"], 1))
@@ -258,24 +274,30 @@ def encode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     x = x + pos[None]
 
     enc_adapters = adapters.get("encoder") if adapters else None
+    drop = (enc_adapters is not None and dropout_rng is not None
+            and lora_dropout > 0.0)
 
     def layer(x, xs):
-        lp, la = xs
+        lp, la, rng = xs
         h = layer_norm(x, lp["ln1"])
         x = x + mha(h, h, lp["attn"], cfg.encoder_heads, lora=la,
-                    impl=attn_impl)
+                    impl=attn_impl, lora_dropout=lora_dropout if drop else 0.0,
+                    dropout_rng=rng)
         h = layer_norm(x, lp["ln2"])
         x = x + mlp_block(h, lp["mlp"])
         return x, None
 
     body = _ckpt(layer) if remat else layer
-    xs = (enc["layers"], enc_adapters)
     if enc_adapters is None:
         # scan can't mix None xs with real ones; use a two-arg closure instead
-        body2 = (lambda c, lp: body(c, (lp, None)))
+        body2 = (lambda c, lp: body(c, (lp, None, None)))
         x, _ = jax.lax.scan(body2, x, enc["layers"])
+    elif drop:
+        keys = jax.random.split(dropout_rng, cfg.encoder_layers)
+        x, _ = jax.lax.scan(body, x, (enc["layers"], enc_adapters, keys))
     else:
-        x, _ = jax.lax.scan(body, x, xs)
+        body2 = (lambda c, xs2: body(c, (xs2[0], xs2[1], None)))
+        x, _ = jax.lax.scan(body2, x, (enc["layers"], enc_adapters))
     return layer_norm(x, enc["ln_post"])
 
 
@@ -286,7 +308,9 @@ def encode(params: Params, mel: jax.Array, cfg: WhisperConfig,
 def decode_train(params: Params, tokens: jax.Array, enc_out: jax.Array,
                  cfg: WhisperConfig, adapters: Optional[Params] = None,
                  compute_dtype: jnp.dtype = jnp.bfloat16,
-                 remat: bool = False, attn_impl: str = "auto") -> jax.Array:
+                 remat: bool = False, attn_impl: str = "auto",
+                 lora_dropout: float = 0.0,
+                 dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """Teacher-forced decode: tokens (B, T) → logits (B, T, vocab)."""
     dec = params["decoder"]
     B, T = tokens.shape
@@ -294,27 +318,40 @@ def decode_train(params: Params, tokens: jax.Array, enc_out: jax.Array,
     x = x + dec["pos"][:T].astype(compute_dtype)[None]
 
     dec_adapters = adapters.get("decoder") if adapters else None
+    drop = (dec_adapters is not None and dropout_rng is not None
+            and lora_dropout > 0.0)
 
     def layer(x, xs):
-        lp, la = xs
+        lp, la, rng = xs
         sa_l = la.get("self_attn") if la else None
         ca_l = la.get("cross_attn") if la else None
+        r_sa = r_ca = None
+        if drop:
+            r_sa, r_ca = jax.random.split(rng)
         h = layer_norm(x, lp["ln1"])
         x = x + mha(h, h, lp["self_attn"], cfg.decoder_heads, lora=sa_l,
-                    causal=True, impl=attn_impl)
+                    causal=True, impl=attn_impl,
+                    lora_dropout=lora_dropout if drop else 0.0,
+                    dropout_rng=r_sa)
         h = layer_norm(x, lp["ln2"])
         x = x + mha(h, enc_out, lp["cross_attn"], cfg.decoder_heads, lora=ca_l,
-                    impl=attn_impl)
+                    impl=attn_impl,
+                    lora_dropout=lora_dropout if drop else 0.0,
+                    dropout_rng=r_ca)
         h = layer_norm(x, lp["ln3"])
         x = x + mlp_block(h, lp["mlp"])
         return x, None
 
     body = _ckpt(layer) if remat else layer
     if dec_adapters is None:
-        body2 = (lambda c, lp: body(c, (lp, None)))
+        body2 = (lambda c, lp: body(c, (lp, None, None)))
         x, _ = jax.lax.scan(body2, x, dec["layers"])
+    elif drop:
+        keys = jax.random.split(dropout_rng, cfg.decoder_layers)
+        x, _ = jax.lax.scan(body, x, (dec["layers"], dec_adapters, keys))
     else:
-        x, _ = jax.lax.scan(body, x, (dec["layers"], dec_adapters))
+        body2 = (lambda c, xs2: body(c, (xs2[0], xs2[1], None)))
+        x, _ = jax.lax.scan(body2, x, (dec["layers"], dec_adapters))
 
     x = layer_norm(x, dec["ln_post"])
     # tied output projection; logits in fp32 for a stable softmax/loss
@@ -327,7 +364,9 @@ def forward(params: Params, mel: jax.Array, tokens: jax.Array,
             cfg: WhisperConfig, adapters: Optional[Params] = None,
             compute_dtype: jnp.dtype = jnp.bfloat16,
             remat: bool = False, attn_impl: str = "auto",
-            decoder_attn_impl: Optional[str] = None) -> jax.Array:
+            decoder_attn_impl: Optional[str] = None,
+            lora_dropout: float = 0.0,
+            dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """Full teacher-forced forward: (mel, decoder_input_ids) → logits.
 
     attn_impl selects the ENCODER attention ("xla" | "flash" | "auto"),
@@ -339,10 +378,14 @@ def forward(params: Params, mel: jax.Array, tokens: jax.Array,
     avoids; the decoder's short padded sequences don't amortize flash's
     pad/transpose overhead.
     """
-    enc_out = encode(params, mel, cfg, adapters, compute_dtype, remat, attn_impl)
+    r_enc = r_dec = None
+    if dropout_rng is not None and lora_dropout > 0.0:
+        r_enc, r_dec = jax.random.split(dropout_rng)
+    enc_out = encode(params, mel, cfg, adapters, compute_dtype, remat,
+                     attn_impl, lora_dropout, r_enc)
     dec_impl = attn_impl if decoder_attn_impl is None else decoder_attn_impl
     return decode_train(params, tokens, enc_out, cfg, adapters, compute_dtype,
-                        remat, dec_impl)
+                        remat, dec_impl, lora_dropout, r_dec)
 
 
 # ---------------------------------------------------------------------------

@@ -242,11 +242,15 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
     sched = str(hp.get("lr_scheduler_type", args.lr_scheduler_type))
     warmup_steps = hp.get("warmup_steps", args.warmup_steps or None)
     warmup_ratio = hp.get("warmup_ratio", args.warmup_ratio or None)
+    # PEFT: train only a/b (+ e under AdaLoRA); scaling is a constant
+    freeze = (optim_lib.adapter_freeze_mask(built.adapters, args.adalora)
+              if built.adapters is not None else None)
     tx = optim_lib.make_optimizer(
         lr, args.max_steps, sched,
         warmup_steps=int(warmup_steps) if warmup_steps else None,
         warmup_ratio=float(warmup_ratio) if warmup_ratio else None,
-        weight_decay=wd, max_grad_norm=args.max_grad_norm)
+        weight_decay=wd, max_grad_norm=args.max_grad_norm,
+        trainable_mask=freeze)
 
     lcfg = None
     if args.peft:
@@ -281,10 +285,10 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
         state["opt_state"], sh.zero_shardings(state["opt_state"], mesh))
     # every leaf mesh-committed so checkpoint restore round-trips shardings
     state["step"] = jax.device_put(state["step"], mesh_lib.replicated(mesh))
-    if state.get("sensitivity") is not None:
-        state["sensitivity"] = sh.shard_tree(
-            state["sensitivity"],
-            sh.adapter_shardings(state["sensitivity"], mesh))
+    for aux in ("sensitivity", "rank_mask"):
+        if state.get(aux) is not None:
+            state[aux] = sh.shard_tree(
+                state[aux], sh.adapter_shardings(state[aux], mesh))
 
     train_iter_factory, eval_batches_fn, n_train, num_shards = build_data(
         args, built.tokenizer, cfg)

@@ -122,14 +122,43 @@ def init_sensitivity(adapters: Params) -> Params:
     return jax.tree.map(jnp.zeros_like, adapters)
 
 
-def adalora_update_masks(adapters: Params, grads: Params, sens: Params,
-                         step: jax.Array, max_steps: int,
-                         cfg: LoraConfig) -> Tuple[Params, Params]:
-    """Every deltaT steps: recompute importance, keep the globally top
-    (budget × num_adapters × L) triplets by zeroing e elsewhere.
+def _is_adapter(node) -> bool:
+    return isinstance(node, dict) and "a" in node and "e" in node
+
+
+def init_rank_mask(adapters: Params) -> Params:
+    """All-ones rank mask, one (L, 1, r) array per adapter stack."""
+    def walk(ad):
+        if _is_adapter(ad):
+            return jnp.ones_like(ad["e"])
+        return {k: walk(v) for k, v in ad.items()}
+    return walk(adapters)
+
+
+def apply_rank_mask(adapters: Params, mask: Optional[Params]) -> Params:
+    """Non-destructive rank pruning: multiply e by the mask in the FORWARD
+    only, keeping the stored e intact so a pruned triplet is fully
+    recoverable if the allocator re-admits it (the paper's behavior; the
+    reference gets it from `peft`'s RankAllocator)."""
+    if mask is None:
+        return adapters
+
+    def walk(ad, m):
+        if _is_adapter(ad):
+            return {**ad, "e": ad["e"] * m}
+        return {k: walk(ad[k], m[k]) for k in ad}
+    return walk(adapters, mask)
+
+
+def adalora_update_mask(adapters: Params, grads: Params, sens: Params,
+                        mask: Params, step: jax.Array, max_steps: int,
+                        cfg: LoraConfig) -> Tuple[Params, Params]:
+    """Every deltaT steps: recompute importance and keep the globally top
+    (budget × num_adapters × L) triplets; others get mask 0.
 
     Fixed-shape masking (never resizes) so the whole thing jits.
-    Returns (new_adapters_with_masked_e, new_sensitivity).
+    Returns (new_rank_mask, new_sensitivity); the adapters themselves are
+    untouched (see apply_rank_mask).
     """
     leaves_ad, treedef = jax.tree.flatten_with_path(adapters)
     # collect per-adapter importance
@@ -158,22 +187,22 @@ def adalora_update_masks(adapters: Params, grads: Params, sens: Params,
     order = jnp.sort(flat)[::-1]
     k_idx = jnp.clip(k_total - 1, 0, flat.size - 1)
     thresh = order[k_idx]
-    mask = (all_imp >= thresh).astype(jnp.float32)  # (n_adapters, L, r)
+    keep = (all_imp >= thresh).astype(jnp.float32)  # (n_adapters, L, r)
 
     i = [0]
 
-    def apply_mask(ad):
-        if isinstance(ad, dict) and "a" in ad and "e" in ad:
-            m = mask[i[0]][:, None, :]              # (L, 1, r)
+    def build_mask(m_old):
+        if not isinstance(m_old, dict):
+            m = keep[i[0]][:, None, :]              # (L, 1, r)
             i[0] += 1
-            return {**ad, "e": ad["e"] * m + (1 - m) * 0.0}
-        return {k: apply_mask(ad[k]) for k in ad}
+            return m
+        return {k: build_mask(m_old[k]) for k in m_old}
 
     do_update = (step % cfg.delta_t) == 0
-    masked = apply_mask(adapters)
-    new_adapters = jax.tree.map(
-        lambda new, old: jnp.where(do_update, new, old), masked, adapters)
-    return new_adapters, new_sens
+    computed = build_mask(mask)
+    new_mask = jax.tree.map(
+        lambda new, old: jnp.where(do_update, new, old), computed, mask)
+    return new_mask, new_sens
 
 
 def orth_regularizer(adapters: Params, weight: float) -> jax.Array:

@@ -13,9 +13,29 @@ over this state pytree.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
+import jax
 import optax
+
+
+def adapter_freeze_mask(adapters: Any, adalora: bool) -> Any:
+    """Trainability mask for a LoRA adapter pytree (True = trained).
+
+    The reference's PEFT setup trains only lora_A/lora_B (plus lora_E under
+    AdaLoRA); `scaling` is the constant alpha/rank. Without this mask,
+    adamw weight-decays `scaling` and (plain-LoRA) `e` away from their
+    constants.
+    """
+    def assign(path, leaf):
+        name = path[-1].key if path and hasattr(path[-1], "key") else ""
+        if name == "scaling":
+            return False
+        if name == "e" and not adalora:
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(assign, adapters)
 
 
 def make_lr_schedule(learning_rate: float, max_steps: int,
@@ -50,7 +70,9 @@ def make_optimizer(learning_rate: float, max_steps: int,
                    adam_beta1: float = 0.9,
                    adam_beta2: float = 0.98,  # reference trainers.py:447-448
                    adam_eps: float = 1e-8,
-                   max_grad_norm: float = 1.0) -> optax.GradientTransformation:
+                   max_grad_norm: float = 1.0,
+                   trainable_mask: Optional[Any] = None
+                   ) -> optax.GradientTransformation:
     sched = make_lr_schedule(learning_rate, max_steps, scheduler,
                              warmup_steps, warmup_ratio)
     parts = []
@@ -58,4 +80,11 @@ def make_optimizer(learning_rate: float, max_steps: int,
         parts.append(optax.clip_by_global_norm(max_grad_norm))
     parts.append(optax.adamw(sched, b1=adam_beta1, b2=adam_beta2,
                              eps=adam_eps, weight_decay=weight_decay))
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if trainable_mask is not None:
+        # frozen leaves get zero updates AND no weight decay / clip share
+        labels = jax.tree.map(
+            lambda t: "train" if t else "freeze", trainable_mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
+    return tx

@@ -62,6 +62,7 @@ def make_train_state(params: Params, tx: optax.GradientTransformation,
     }
     if adalora and adapters is not None:
         state["sensitivity"] = lora_lib.init_sensitivity(adapters)
+        state["rank_mask"] = lora_lib.init_rank_mask(adapters)
     return state
 
 
@@ -74,18 +75,29 @@ def _get_mel(batch: Dict[str, jax.Array], cfg: TrainStepConfig) -> jax.Array:
 def make_loss_fn(model_cfg: WhisperConfig, cfg: TrainStepConfig):
     def loss_fn(trainable: Params, frozen: Optional[Params],
                 batch: Dict[str, jax.Array],
-                rng: Optional[jax.Array] = None) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+                rng: Optional[jax.Array] = None,
+                rank_mask: Optional[Params] = None
+                ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         if cfg.mode == "peft":
             params, adapters = frozen, trainable
+            # AdaLoRA rank pruning is applied in the forward only, so the
+            # stored e stays recoverable (lora.apply_rank_mask)
+            adapters = lora_lib.apply_rank_mask(adapters, rank_mask)
         else:
             params, adapters = trainable, None
         mel = _get_mel(batch, cfg)
         if cfg.spec_augment and rng is not None:
-            mel = spec_augment(rng, mel)
+            mel = spec_augment(jax.random.fold_in(rng, 0), mel)
+        lora_dropout = 0.0
+        dropout_rng = None
+        if cfg.mode == "peft" and cfg.lora and rng is not None:
+            lora_dropout = cfg.lora.dropout
+            dropout_rng = jax.random.fold_in(rng, 1)
         logits = W.forward(params, mel, batch["decoder_input_ids"], model_cfg,
                            adapters=adapters, compute_dtype=cfg.compute_dtype,
                            remat=cfg.remat, attn_impl=cfg.attn_impl,
-                           decoder_attn_impl=cfg.decoder_attn_impl)
+                           decoder_attn_impl=cfg.decoder_attn_impl,
+                           lora_dropout=lora_dropout, dropout_rng=dropout_rng)
         loss, n_tok = W.cross_entropy(logits, batch["labels"], cfg.label_smoothing)
         metrics = {"loss": loss, "tokens": n_tok}
         if cfg.mode == "peft" and cfg.lora and cfg.lora.adalora \
@@ -108,15 +120,17 @@ def make_train_step(model_cfg: WhisperConfig, tx: optax.GradientTransformation,
     loss_fn = make_loss_fn(model_cfg, cfg)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def single_grads(trainable, frozen, batch, rng):
-        (loss, metrics), grads = grad_fn(trainable, frozen, batch, rng)
+    def single_grads(trainable, frozen, batch, rng, rank_mask):
+        (loss, metrics), grads = grad_fn(trainable, frozen, batch, rng,
+                                         rank_mask)
         return grads, metrics
 
-    def accum_grads(trainable, frozen, batch, rng):
+    def accum_grads(trainable, frozen, batch, rng, rank_mask):
         def body(carry, xs):
             microbatch, mb_rng = xs
             g_acc, m_acc = carry
-            g, m = single_grads(trainable, frozen, microbatch, mb_rng)
+            g, m = single_grads(trainable, frozen, microbatch, mb_rng,
+                                rank_mask)
             g_acc = jax.tree.map(jnp.add, g_acc, g)
             m_acc = {k: m_acc[k] + m[k] for k in m_acc}
             return (g_acc, m_acc), None
@@ -138,11 +152,14 @@ def make_train_step(model_cfg: WhisperConfig, tx: optax.GradientTransformation,
         trainable = state["adapters"] if peft else state["params"]
         frozen = state["params"] if peft else None
 
+        rank_mask = state.get("rank_mask")
         rng = jax.random.fold_in(jax.random.PRNGKey(0), state["step"])
         if cfg.accum_steps > 1:
-            grads, metrics = accum_grads(trainable, frozen, batch, rng)
+            grads, metrics = accum_grads(trainable, frozen, batch, rng,
+                                         rank_mask)
         else:
-            grads, metrics = single_grads(trainable, frozen, batch, rng)
+            grads, metrics = single_grads(trainable, frozen, batch, rng,
+                                          rank_mask)
 
         updates, new_opt = tx.update(grads, state["opt_state"], trainable)
         new_trainable = optax.apply_updates(trainable, updates)
@@ -153,10 +170,10 @@ def make_train_step(model_cfg: WhisperConfig, tx: optax.GradientTransformation,
         if peft:
             new_state["adapters"] = new_trainable
             if cfg.lora and cfg.lora.adalora and "sensitivity" in state:
-                ad, sens = lora_lib.adalora_update_masks(
-                    new_trainable, grads, state["sensitivity"], state["step"],
-                    cfg.max_steps, cfg.lora)
-                new_state["adapters"] = ad
+                mask, sens = lora_lib.adalora_update_mask(
+                    new_trainable, grads, state["sensitivity"], rank_mask,
+                    state["step"], cfg.max_steps, cfg.lora)
+                new_state["rank_mask"] = mask
                 new_state["sensitivity"] = sens
         else:
             new_state["params"] = new_trainable
@@ -176,7 +193,8 @@ def make_eval_loss_step(model_cfg: WhisperConfig, cfg: TrainStepConfig) -> Calla
         peft = cfg.mode == "peft"
         trainable = state["adapters"] if peft else state["params"]
         frozen = state["params"] if peft else None
-        loss, metrics = loss_fn(trainable, frozen, batch, None)
+        loss, metrics = loss_fn(trainable, frozen, batch, None,
+                                state.get("rank_mask"))
         return metrics
 
     return step

@@ -139,6 +139,10 @@ class Trainer:
                     mel = lm.log_mel_spectrogram(
                         device_batch["audio"], n_mels=self.step_cfg.n_mels)
                 adapters = self.state.get("adapters") if peft else None
+                if adapters is not None:
+                    from . import lora as lora_lib
+                    adapters = lora_lib.apply_rank_mask(
+                        adapters, self.state.get("rank_mask"))
                 tokens, _ = self._decode(self.state["params"], mel, adapters)
                 texts = self.tokenizer.batch_decode(np.asarray(tokens))
                 hyps.extend(normalize(t) for t in texts)
