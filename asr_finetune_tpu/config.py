@@ -44,7 +44,9 @@ def _read_config_file(path: str) -> List[str]:
             if value.lower() in ("true", ""):
                 argv.append(key)
             elif value.lower() == "false":
-                continue
+                # boolean flags are BooleanOptionalAction, so `key = false`
+                # really disables default-True flags (bf16, remat, ...)
+                argv.append("--no-" + key.lstrip("-"))
             else:
                 if value and value[0] in "\"'" and value[-1:] == value[0]:
                     value = value[1:-1]
@@ -89,19 +91,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "random init + byte-fallback tokenizer")
     p.add_argument("--target_language", type=str, default="german")
     p.add_argument("--task", type=str, default="transcribe")
-    p.add_argument("--return_timestamps", action="store_true")
-    p.add_argument("--peft", action="store_true")
-    p.add_argument("--load_in_8bit", action="store_true",
+    p.add_argument("--return_timestamps", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--peft", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--load_in_8bit", action=argparse.BooleanOptionalAction, default=False,
                    help="int8-quantize the frozen base (PEFT)")
     p.add_argument("--lora_rank", type=int, default=8)
     p.add_argument("--lora_alpha", type=float, default=16.0)
-    p.add_argument("--adalora", action="store_true")
+    p.add_argument("--adalora", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--adalora_target_rank", type=int, default=0,
                    help="0 = rank//2")
-    p.add_argument("--bf16", action="store_true", default=True)
-    p.add_argument("--fp16", action="store_true", default=False,
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--fp16", action=argparse.BooleanOptionalAction, default=False,
                    help="accepted for reference-config compat; TPU uses bf16")
-    p.add_argument("--gradient_checkpointing", action="store_true", default=True)
+    p.add_argument("--gradient_checkpointing", action=argparse.BooleanOptionalAction, default=True)
 
     # data
     p.add_argument("--data_mode", type=str, default="h5", choices=DATA_MODES)
@@ -110,11 +112,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_dataset_name", type=str, default="")
     p.add_argument("--test_split", type=float, default=0.2)
     p.add_argument("--val_split", type=float, default=0.1)
-    p.add_argument("--on_device_logmel", action="store_true", default=True)
-    p.add_argument("--host_logmel", action="store_true",
+    p.add_argument("--on_device_logmel", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--host_logmel", action=argparse.BooleanOptionalAction, default=False,
                    help="compute features on host (reference behavior)")
-    p.add_argument("--copy_to_local", action="store_true")
-    p.add_argument("--spec_augment", action="store_true")
+    p.add_argument("--copy_to_local", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--spec_augment", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--group_by_length", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="sort-within-window batching by transcript length "
+                        "(reference group_by_length=True, trainers.py:862)")
 
     # evaluation
     p.add_argument("--metric_to_optimize", type=list_of_strings,
@@ -123,7 +129,7 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None)
     p.add_argument("--wer_weight", type=float, default=1.0)
     p.add_argument("--eval_sample_fraction", type=float, default=1.0)
-    p.add_argument("--skip_wer_eval", action="store_true",
+    p.add_argument("--skip_wer_eval", action=argparse.BooleanOptionalAction, default=False,
                    help="loss-only eval (skips the decode path)")
     p.add_argument("--num_to_keep", type=int, default=1)
 
@@ -149,11 +155,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="TPU chips per HPO trial (0 = all local chips); "
                         "replaces the reference's fractional gpus_per_trial")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
-    p.add_argument("--run_on_local_machine", action="store_true")
+    p.add_argument("--run_on_local_machine", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--output_dir", type=str, default="./output")
     p.add_argument("--storage_path", type=str, default="./output/scratch")
-    p.add_argument("--resume_training", action="store_true")
-    p.add_argument("--debug", action="store_true")
+    p.add_argument("--resume_training", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--debug", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--random_seed", type=int, default=1337)
     p.add_argument("-c", "--config", type=str, default=None,
                    help="config file path (`key = value` lines)")

@@ -92,6 +92,10 @@ class AudioFolderReader:
     def __len__(self) -> int:
         return len(self.items)
 
+    def transcript_lengths(self) -> np.ndarray:
+        """group_by_length sort key (transcript char counts)."""
+        return np.asarray([len(t) for _, t in self.items], np.int32)
+
     def read(self, indices: Sequence[int]) -> List[Tuple[int, np.ndarray, str]]:
         out = []
         for i in indices:

@@ -70,6 +70,12 @@ class Hdf5AudioReader:
                 logger.warning("dropping bad row %d: %s", idx, e)
         return out
 
+    def transcript_lengths(self) -> np.ndarray:
+        """Per-row transcript char counts — the group_by_length sort key
+        (labels dominate padding waste; audio is a fixed 30 s window)."""
+        text_ds = self.file["transcription"]
+        return np.asarray([len(t) for t in text_ds[...]], np.int32)
+
     def close(self):
         if self._file is not None:
             self._file.close()

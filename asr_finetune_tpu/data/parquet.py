@@ -99,6 +99,17 @@ class ParquetFeatureReader:
         self._load()
         return int(self._offsets[-1])
 
+    def transcript_lengths(self) -> np.ndarray:
+        """group_by_length sort key: true label token counts (excluding the
+        -100 padding the materializer wrote)."""
+        tables = self._load()
+        out = []
+        for t in tables:
+            for row in t["labels"]:
+                arr = np.asarray(row.as_py(), np.int32)
+                out.append(int((arr != IGNORE_ID).sum()))
+        return np.asarray(out, np.int32)
+
     def read_features(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
         """Gather rows → dict of stacked arrays (mel, labels, text)."""
         tables = self._load()

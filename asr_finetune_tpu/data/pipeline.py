@@ -30,11 +30,22 @@ NON_DEVICE_KEYS = ("text", "idx")  # host-only fields, never device_put
 
 
 class IndexSampler:
-    """Seeded, sharded, epoch-aware index stream."""
+    """Seeded, sharded, epoch-aware index stream.
+
+    With `lengths`, batches are length-grouped: the shuffled permutation is
+    sorted within windows of (global batch × length_group_factor) so each
+    batch holds similar-length rows and pays less label padding — the
+    reference's group_by_length=True / HF LengthGroupedSampler
+    (trainers.py:862, :441). The window sort happens BEFORE the strided
+    process shard, so in multi-host runs all processes contribute
+    similar-length rows to the same global batch.
+    """
 
     def __init__(self, n: int, batch_size: int, seed: int = 0,
                  shuffle: bool = True, drop_last: bool = True,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 lengths: Optional[np.ndarray] = None,
+                 length_group_factor: int = 16):
         self.n = n
         self.batch_size = batch_size
         self.seed = seed
@@ -42,12 +53,20 @@ class IndexSampler:
         self.drop_last = drop_last
         self.process_index = process_index
         self.process_count = process_count
+        self.lengths = None if lengths is None else np.asarray(lengths)
+        self.length_group_factor = length_group_factor
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
         idx = np.arange(self.n)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(idx)
+        if self.lengths is not None and self.shuffle:
+            w = self.batch_size * self.process_count * self.length_group_factor
+            for i in range(0, len(idx), w):
+                win = idx[i : i + w]
+                idx[i : i + len(win)] = win[np.argsort(self.lengths[win],
+                                                       kind="stable")]
         # contiguous per-process shard of the (shuffled) permutation
         shard = idx[self.process_index :: self.process_count]
         if self.drop_last:
@@ -101,6 +120,15 @@ class DataPipeline:
             rows = self.reader.read(idx_batch)
             if len(rows) == 0:  # rows may be a list OR an index array
                 continue
+            want = len(idx_batch)
+            if len(rows) < want:
+                # readers drop bad rows; repeat good rows so every train
+                # batch has the exact configured size (shape-stable jit,
+                # consistent global shapes across hosts)
+                if isinstance(rows, list):
+                    rows = [rows[j % len(rows)] for j in range(want)]
+                else:
+                    rows = np.asarray(rows)[np.arange(want) % len(rows)]
             batch = self.collator(rows)
             seen += len(rows)
             if self.telemetry_every and (i + 1) % self.telemetry_every == 0:

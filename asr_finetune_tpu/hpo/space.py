@@ -72,9 +72,11 @@ def get_whisper_hyperparameters(args) -> Dict[str, Domain]:
     if want("learning_rate"):
         space["learning_rate"] = LogUniform(5e-6, 1e-4)
     if want("warmup_steps") and getattr(args, "warmup_steps", 0):
-        space["warmup_steps"] = RandInt(0, max(args.max_warmup_steps, 1) + 1)
+        # reference ray_searchers_and_schedulers.py:139-140
+        space["warmup_steps"] = Choice([100, 500, 1000, 2000])
     elif want("warmup_ratio"):
-        space["warmup_ratio"] = Choice([0.0, 0.05, 0.1])
+        # reference ray_searchers_and_schedulers.py:141-142
+        space["warmup_ratio"] = Choice([0.01, 0.03, 0.05, 0.1])
     if want("per_device_train_batch_size"):
         space["per_device_train_batch_size"] = Choice([1, 2, 4, 8])
     if want("weight_decay"):

@@ -49,14 +49,18 @@ def param_shardings(params: Params, mesh: Mesh) -> Params:
             return dim_size % model_size == 0
 
         if parent in ("q", "k", "v", "fc1"):
-            if name == "w" and leaf.ndim == 3 and ok(leaf.shape[2]):
+            # int8 bases (ops/quant.py) shard exactly like their fp weights
+            if name in ("w", "w_q8") and leaf.ndim == 3 and ok(leaf.shape[2]):
+                return _ns(mesh, None, None, MODEL_AXIS)
+            if name == "w_scale" and leaf.ndim == 3 and ok(leaf.shape[2]):
                 return _ns(mesh, None, None, MODEL_AXIS)
             if name == "b" and leaf.ndim == 2 and ok(leaf.shape[1]):
                 return _ns(mesh, None, MODEL_AXIS)
         if parent in ("o", "fc2"):
-            if name == "w" and leaf.ndim == 3 and ok(leaf.shape[1]):
+            if name in ("w", "w_q8") and leaf.ndim == 3 and ok(leaf.shape[1]):
                 return _ns(mesh, None, MODEL_AXIS, None)
-            # bias after a psum-reduced matmul stays replicated
+            # bias and per-OUTPUT-channel w_scale after a psum-reduced
+            # matmul stay replicated
         return _ns(mesh)
 
     return jax.tree_util.tree_map_with_path(assign, params)

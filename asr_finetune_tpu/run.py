@@ -164,10 +164,16 @@ def build_data(args, tokenizer, model_cfg: WhisperConfig):
             pipe_reader = collator  # pass-through read()
         else:
             pipe_reader = reader
+        lengths = None
+        if getattr(args, "group_by_length", True):
+            length_fn = getattr(reader, "transcript_lengths", None)
+            if length_fn is not None:
+                lengths = np.asarray(length_fn())[train_indices]
         sampler = IndexSampler(len(train_indices), B * accum,
                                seed=args.random_seed,
                                process_index=jax.process_index(),
-                               process_count=jax.process_count())
+                               process_count=jax.process_count(),
+                               lengths=lengths)
         remap = train_indices
 
         class _RemapReader:
@@ -190,26 +196,34 @@ def build_data(args, tokenizer, model_cfg: WhisperConfig):
         return factory
 
     def eval_batches_fn(shard_id: int) -> List[Dict[str, Any]]:
-        idx = shards[shard_id % len(shards)]
+        """Every utterance in the shard is evaluated: short tails are padded
+        up to the compiled batch shape with repeated rows, which are masked
+        out of the loss (labels=-100) and sliced off the WER lists via
+        'n_valid' (Trainer.evaluate)."""
+        idx = np.asarray(shards[shard_id % len(shards)])
         collator = make_collator(val_reader)
         B = args.per_device_eval_batch_size
         out = []
-        for i in range(0, len(idx) - B + 1, B):
+        for i in range(0, len(idx), B):
             sel = idx[i : i + B]
+            n_real = len(sel)
+            if n_real < B:
+                sel = np.concatenate([sel, np.resize(idx, B - n_real)])
             if isinstance(collator, ParquetCollator):
-                out.append(collator(sel))
+                batch = collator(sel)
+                n_valid = n_real
             else:
-                rows = val_reader.read(sel)
-                if rows:
-                    out.append(collator(rows))
-        if not out and len(idx):
-            sel = idx[: max(len(idx) // B * B, len(idx))][:B]
-            if isinstance(collator, ParquetCollator):
-                out.append(collator(sel))
-            else:
-                rows = val_reader.read(sel)
-                if rows:
-                    out.append(collator(rows))
+                rows = val_reader.read(sel[:n_real])
+                if not rows:
+                    continue
+                n_valid = len(rows)
+                if n_valid < B:  # tail padding and/or dropped bad rows
+                    rows = [rows[j % n_valid] for j in range(B)]
+                batch = collator(rows)
+            if n_valid < batch["labels"].shape[0]:
+                batch["labels"][n_valid:] = -100
+            batch["n_valid"] = n_valid
+            out.append(batch)
         return out
 
     return train_iter_factory, eval_batches_fn, len(train_indices), num_shards

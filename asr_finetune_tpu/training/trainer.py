@@ -129,6 +129,7 @@ class Trainer:
                 break
             device_batch = {k: v for k, v in batch.items()
                             if k in ("mel", "audio", "decoder_input_ids", "labels")}
+            n_valid = int(batch.get("n_valid", len(batch["text"])))
             m = self._eval_loss_step(self.state, device_batch)
             losses.append(float(m["loss"]))
             counts.append(int(m["tokens"]))
@@ -144,9 +145,9 @@ class Trainer:
                     adapters = lora_lib.apply_rank_mask(
                         adapters, self.state.get("rank_mask"))
                 tokens, _ = self._decode(self.state["params"], mel, adapters)
-                texts = self.tokenizer.batch_decode(np.asarray(tokens))
+                texts = self.tokenizer.batch_decode(np.asarray(tokens)[:n_valid])
                 hyps.extend(normalize(t) for t in texts)
-                refs.extend(normalize(str(t)) for t in batch["text"])
+                refs.extend(normalize(str(t)) for t in batch["text"][:n_valid])
 
         total = max(sum(counts), 1)
         eval_loss = float(np.sum([l * c for l, c in zip(losses, counts)]) / total)
