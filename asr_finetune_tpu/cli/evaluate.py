@@ -96,6 +96,8 @@ def main(argv=None):
                       max_length=args.generation_max_length,
                       num_beams=args.generation_num_beams,
                       suppress_tokens=built.suppress_tokens,
+                      begin_suppress_tokens=built.begin_suppress_tokens,
+                      return_timestamps=args.return_timestamps,
                       batch_size=B, output_dir=ens.eval_output_dir,
                       compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     ev = OfflineEvaluator(built.cfg, params, built.tokenizer, ecfg, adapters)

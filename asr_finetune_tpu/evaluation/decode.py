@@ -35,11 +35,83 @@ def _suppress_bias(vocab: int, suppress_tokens: Optional[Sequence[int]]):
     return jnp.asarray(bias)
 
 
+NEG_INF = jnp.float32(-np.inf)
+
+# whisper generation_config.max_initial_timestamp = 1.0 s at 0.02 s/token
+MAX_INITIAL_TIMESTAMP_INDEX = 50
+
+
+def _apply_timestamp_rules(logits: jax.Array, prev: jax.Array,
+                           prev2: jax.Array, last_ts: jax.Array,
+                           is_begin: jax.Array, ts_begin: int, eot: int,
+                           no_ts_id: int) -> jax.Array:
+    """Whisper's timestamp grammar on (N, V) fp32 logits — the semantics of
+    HF's WhisperTimeStampLogitsProcessor, which the reference inherits by
+    passing return_timestamps into generate (whisper_models.py:44-48):
+
+    - <|notimestamps|> never generated
+    - after an unpaired timestamp: only a timestamp or eot (pairing rule)
+    - after a completed pair: no timestamp (text must follow)
+    - timestamps are non-decreasing across the sequence (a pair's close may
+      equal its open; a new pair's open must exceed the last close)
+    - the first free position must be a timestamp, capped at
+      max_initial_timestamp
+    - if total timestamp probability beats the best text token, force a
+      timestamp
+
+    prev/prev2: tokens at the two previous positions (N,), last_ts: largest
+    timestamp token emitted so far (0 = none), is_begin: scalar bool for
+    "this is the first unforced position".
+    """
+    V = logits.shape[-1]
+    ar = jnp.arange(V)
+    is_ts_tok = ar >= ts_begin                       # (V,)
+    prev_is_ts = prev >= ts_begin                    # (N,)
+    prev2_is_ts = prev2 >= ts_begin
+
+    logits = jnp.where(ar[None, :] == no_ts_id, NEG_INF, logits)
+
+    # pairing rules
+    need_ts_or_eot = prev_is_ts & ~prev2_is_ts
+    logits = jnp.where(
+        need_ts_or_eot[:, None] & (ar < eot)[None, :], NEG_INF, logits)
+    pair_done = prev_is_ts & prev2_is_ts
+    logits = jnp.where(
+        pair_done[:, None] & is_ts_tok[None, :], NEG_INF, logits)
+
+    # monotonicity: lower bound is the last timestamp (inclusive while the
+    # pair is open, exclusive once closed)
+    have_ts = last_ts >= ts_begin
+    lower = jnp.where(need_ts_or_eot, last_ts, last_ts + 1)
+    logits = jnp.where(
+        (have_ts & ~is_begin)[:, None] & is_ts_tok[None, :]
+        & (ar[None, :] < lower[:, None]),
+        NEG_INF, logits)
+
+    # first free position: timestamp only, capped at the initial window
+    logits = jnp.where(is_begin & ~is_ts_tok[None, :], NEG_INF, logits)
+    logits = jnp.where(
+        is_begin & (ar[None, :] > ts_begin + MAX_INITIAL_TIMESTAMP_INDEX),
+        NEG_INF, logits)
+
+    # probability-mass rule: sum p(timestamps) > max p(text) → force timestamp
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_lp = jax.nn.logsumexp(
+        jnp.where(is_ts_tok[None, :], logprobs, NEG_INF), axis=-1)
+    text_lp = jnp.max(jnp.where(is_ts_tok[None, :], NEG_INF, logprobs), axis=-1)
+    force_ts = ts_lp > text_lp
+    logits = jnp.where(force_ts[:, None] & ~is_ts_tok[None, :], NEG_INF, logits)
+    return logits
+
+
 def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
                   forced_tokens: Sequence[int], max_length: int = 225,
                   adapters: Optional[Params] = None,
                   compute_dtype=jnp.bfloat16,
                   suppress_tokens: Optional[Sequence[int]] = None,
+                  begin_suppress_tokens: Optional[Sequence[int]] = None,
+                  timestamp_begin: Optional[int] = None,
+                  no_timestamps_id: Optional[int] = None,
                   kv_int8: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Returns (tokens (B, max_length), lengths (B,)).
 
@@ -50,7 +122,10 @@ def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     tokens[:, 0] is <|startoftranscript|>; forced_tokens is the FULL prefix
     including sot (tokenizer.prefix_tokens()). Positions past the emitted
     <|endoftext|> are padded with eot. suppress_tokens get -inf logits
-    (whisper's punctuation/special suppression list).
+    (whisper's punctuation/special suppression list); begin_suppress_tokens
+    only at the first unforced position (HF SuppressTokensAtBegin).
+    With timestamp_begin set, whisper's timestamp grammar is enforced
+    (_apply_timestamp_rules) — the reference's return_timestamps path.
     """
     B = mel.shape[0]
     eot = cfg.eos_token_id
@@ -58,6 +133,10 @@ def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     n_forced = int(forced.shape[0])
     assert n_forced >= 1, "forced_tokens must at least contain sot"
     bias = _suppress_bias(cfg.vocab_size, suppress_tokens)
+    begin_bias = _suppress_bias(cfg.vocab_size, begin_suppress_tokens)
+    with_ts = timestamp_begin is not None
+    no_ts_id = (no_timestamps_id if no_timestamps_id is not None
+                else (timestamp_begin - 1 if with_ts else 0))
 
     enc_out = W.encode(params, mel, cfg, adapters, compute_dtype,
                        attn_impl="auto")  # inference: flash where it wins
@@ -70,16 +149,30 @@ def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     tokens0 = tokens0.at[:, 0].set(forced[0])
 
     def cond(carry):
-        t, tokens, cache, finished = carry
+        t, tokens, cache, finished, last_ts = carry
         return jnp.logical_and(t < max_length - 1, ~jnp.all(finished))
 
     def body(carry):
-        t, tokens, cache, finished = carry
+        t, tokens, cache, finished, last_ts = carry
         cur = jax.lax.dynamic_index_in_dim(tokens, t, axis=1, keepdims=False)
         logits, cache = W.decode_step(params, cur, t, cache, cross_kv, cfg,
                                       adapters, compute_dtype)
         if bias is not None:
             logits = logits + bias
+        is_begin = (t + 1) == n_forced
+        if begin_bias is not None:
+            logits = jnp.where(is_begin, logits + begin_bias, logits)
+        if with_ts:
+            prev2 = jax.lax.dynamic_index_in_dim(
+                tokens, jnp.maximum(t - 1, 0), axis=1, keepdims=False)
+            # HF treats the penultimate token as a timestamp while fewer
+            # than 2 tokens have been sampled, so the initial segment-open
+            # timestamp is followed by text
+            sampled = t + 1 - n_forced
+            prev2 = jnp.where(sampled < 2, timestamp_begin, prev2)
+            logits = _apply_timestamp_rules(
+                logits, cur, prev2, last_ts, is_begin,
+                timestamp_begin, eot, no_ts_id)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # forced prefix overrides the argmax while t+1 < n_forced
         in_prefix = (t + 1) < n_forced
@@ -87,11 +180,14 @@ def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
         nxt = jnp.where(in_prefix, forced_tok, nxt)
         nxt = jnp.where(finished, eot, nxt)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t + 1))
+        if with_ts:
+            last_ts = jnp.where(nxt >= timestamp_begin, nxt, last_ts)
         finished = jnp.logical_or(finished, jnp.logical_and(~in_prefix, nxt == eot))
-        return t + 1, tokens, cache, finished
+        return t + 1, tokens, cache, finished, last_ts
 
-    t_final, tokens, _, finished = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tokens0, cache, jnp.zeros((B,), bool)))
+    t_final, tokens, _, finished, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens0, cache, jnp.zeros((B,), bool),
+                     jnp.zeros((B,), jnp.int32)))
 
     lengths = jnp.sum(jnp.cumsum(
         (tokens == eot).astype(jnp.int32), axis=1) == 0, axis=1) + 1
@@ -105,13 +201,17 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
                 adapters: Optional[Params] = None,
                 compute_dtype=jnp.bfloat16,
                 suppress_tokens: Optional[Sequence[int]] = None,
+                begin_suppress_tokens: Optional[Sequence[int]] = None,
+                timestamp_begin: Optional[int] = None,
+                no_timestamps_id: Optional[int] = None,
                 kv_int8: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Beam search via flattened (B*num_beams) batch; returns best beam's
     (tokens (B, max_length), lengths (B,)).
 
     Standard HF-style beam semantics: running beams score by summed logprob;
     finished beams are frozen and compared with length penalty
-    (score / len**penalty).
+    (score / len**penalty). begin_suppress_tokens and the timestamp grammar
+    behave as in greedy_decode.
     """
     B = mel.shape[0]
     K = num_beams
@@ -120,6 +220,10 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     n_forced = int(forced.shape[0])
     NEG = jnp.float32(-1e9)
     bias = _suppress_bias(cfg.vocab_size, suppress_tokens)
+    begin_bias = _suppress_bias(cfg.vocab_size, begin_suppress_tokens)
+    with_ts = timestamp_begin is not None
+    no_ts_id = (no_timestamps_id if no_timestamps_id is not None
+                else (timestamp_begin - 1 if with_ts else 0))
 
     enc_out = W.encode(params, mel, cfg, adapters, compute_dtype)
     enc_out = jnp.repeat(enc_out, K, axis=0)          # (B*K, S, d)
@@ -141,13 +245,27 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
             x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
 
     def body(carry):
-        t, tokens, cache, scores, fin_tokens, fin_scores, fin_lens = carry
+        (t, tokens, cache, scores, fin_tokens, fin_scores, fin_lens,
+         last_ts) = carry
         cur = jax.lax.dynamic_index_in_dim(
             tokens.reshape(B * K, max_length), t, axis=1, keepdims=False)
         logits, new_cache = W.decode_step(params, cur, t, cache, cross_kv, cfg,
                                           adapters, compute_dtype)
         if bias is not None:
             logits = logits + bias
+        is_begin = (t + 1) == n_forced
+        if begin_bias is not None:
+            logits = jnp.where(is_begin, logits + begin_bias, logits)
+        if with_ts:
+            prev2 = jax.lax.dynamic_index_in_dim(
+                tokens.reshape(B * K, max_length), jnp.maximum(t - 1, 0),
+                axis=1, keepdims=False)
+            sampled = t + 1 - n_forced  # see greedy_decode
+            prev2 = jnp.where(sampled < 2, timestamp_begin, prev2)
+            logits = _apply_timestamp_rules(
+                logits.astype(jnp.float32), cur, prev2,
+                last_ts.reshape(B * K), is_begin,
+                timestamp_begin, eot, no_ts_id)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         logp = logp.reshape(B, K, -1)
         V = logp.shape[-1]
@@ -168,6 +286,9 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
         tokens = gather_beams(tokens, beam_idx)
         tokens = jax.lax.dynamic_update_slice(
             tokens, tok_idx[:, :, None], (0, 0, t + 1))
+        if with_ts:
+            last_ts = jnp.take_along_axis(last_ts, beam_idx, axis=1)
+            last_ts = jnp.where(tok_idx >= timestamp_begin, tok_idx, last_ts)
 
         # reorder cache: (L, B*K, T, H, hd) → index on beam dim
         flat_idx = (jnp.arange(B)[:, None] * K + beam_idx).reshape(-1)
@@ -187,10 +308,11 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
         fin_lens = jnp.take_along_axis(all_fin_lens, keep_idx, axis=1)
 
         scores = jnp.where(ended, NEG, top_scores)
-        return t + 1, tokens, new_cache, scores, fin_tokens, fin_scores, fin_lens
+        return (t + 1, tokens, new_cache, scores, fin_tokens, fin_scores,
+                fin_lens, last_ts)
 
     def cond(carry):
-        t, tokens, cache, scores, fin_tokens, fin_scores, fin_lens = carry
+        t, tokens, cache, scores, fin_tokens, fin_scores, fin_lens, _ = carry
         # stop when best running beam can't beat the worst kept finished beam
         best_running = jnp.max(scores, axis=1) / ((t + 1.0) ** length_penalty)
         worst_fin = jnp.min(fin_scores, axis=1)
@@ -198,9 +320,9 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
         return jnp.logical_and(t < max_length - 1, improvable)
 
     carry = (jnp.int32(0), tokens0, cache, scores0, fin_tokens0, fin_scores0,
-             fin_lens0)
-    t, tokens, _, scores, fin_tokens, fin_scores, fin_lens = jax.lax.while_loop(
-        cond, body, carry)
+             fin_lens0, jnp.zeros((B, K), jnp.int32))
+    (t, tokens, _, scores, fin_tokens, fin_scores, fin_lens,
+     _) = jax.lax.while_loop(cond, body, carry)
 
     # if nothing finished (hit max length), fall back to running beams
     any_fin = jnp.any(fin_scores > NEG / 2, axis=1)
@@ -221,18 +343,22 @@ def make_decode_fn(cfg: WhisperConfig, forced_tokens: Sequence[int],
                    max_length: int = 225, num_beams: int = 1,
                    compute_dtype=jnp.bfloat16,
                    suppress_tokens: Optional[Sequence[int]] = None,
+                   begin_suppress_tokens: Optional[Sequence[int]] = None,
+                   timestamp_begin: Optional[int] = None,
+                   no_timestamps_id: Optional[int] = None,
                    kv_int8: bool = False):
     """jit-wrapped decode entry used by the trainer's eval and offline eval."""
+    kw = dict(suppress_tokens=suppress_tokens,
+              begin_suppress_tokens=begin_suppress_tokens,
+              timestamp_begin=timestamp_begin,
+              no_timestamps_id=no_timestamps_id,
+              kv_int8=kv_int8)
     if num_beams <= 1:
         def fn(params, mel, adapters=None):
             return greedy_decode(params, mel, cfg, forced_tokens, max_length,
-                                 adapters, compute_dtype,
-                                 suppress_tokens=suppress_tokens,
-                                 kv_int8=kv_int8)
+                                 adapters, compute_dtype, **kw)
     else:
         def fn(params, mel, adapters=None):
             return beam_decode(params, mel, cfg, forced_tokens, max_length,
-                               num_beams, 1.0, adapters, compute_dtype,
-                               suppress_tokens=suppress_tokens,
-                               kv_int8=kv_int8)
+                               num_beams, 1.0, adapters, compute_dtype, **kw)
     return jax.jit(fn)

@@ -40,6 +40,7 @@ class EvalConfig:
     num_beams: int = 1
     return_timestamps: bool = False
     suppress_tokens: Optional[list] = None
+    begin_suppress_tokens: Optional[list] = None
     batch_size: int = 8
     checkpoint_every: int = 100   # batches, reference evaluate_peft.py:391-418
     output_dir: str = "./eval_out"
@@ -59,9 +60,14 @@ class OfflineEvaluator:
         self.cfg = cfg
         forced = tokenizer.prefix_tokens(cfg.language, cfg.task,
                                          predict_timestamps=cfg.return_timestamps)
+        sp = tokenizer.special
         self._decode = decode_lib.make_decode_fn(
             model_cfg, forced, cfg.max_length, cfg.num_beams, cfg.compute_dtype,
-            suppress_tokens=cfg.suppress_tokens)
+            suppress_tokens=cfg.suppress_tokens,
+            begin_suppress_tokens=cfg.begin_suppress_tokens,
+            timestamp_begin=(sp.timestamp_begin if cfg.return_timestamps
+                             else None),
+            no_timestamps_id=sp.no_timestamps)
         os.makedirs(cfg.output_dir, exist_ok=True)
         self._ckpt_path = os.path.join(cfg.output_dir, "eval_checkpoint.json")
 

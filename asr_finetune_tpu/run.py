@@ -48,6 +48,7 @@ class BuiltModel:
     adapters: Optional[Dict[str, Any]]
     tokenizer: Any
     suppress_tokens: Optional[list] = None  # whisper generation_config list
+    begin_suppress_tokens: Optional[list] = None
 
 
 def build_model(args, hp: Optional[Dict[str, Any]] = None) -> BuiltModel:
@@ -72,7 +73,7 @@ def build_model(args, hp: Optional[Dict[str, Any]] = None) -> BuiltModel:
             sot_token_id=tokenizer.special.sot,
             pad_token_id=tokenizer.special.pad)
 
-    suppress = None
+    suppress = begin_suppress = None
     if args.model_path:
         import json as json_lib
         gen_cfg_path = os.path.join(args.model_path, "generation_config.json")
@@ -80,6 +81,8 @@ def build_model(args, hp: Optional[Dict[str, Any]] = None) -> BuiltModel:
             with open(gen_cfg_path) as f:
                 gen_cfg = json_lib.load(f)
             suppress = gen_cfg.get("suppress_tokens")
+            # HF suppresses these only at the first free position (" ", eos)
+            begin_suppress = gen_cfg.get("begin_suppress_tokens")
 
     adapters = None
     if args.peft:
@@ -96,7 +99,8 @@ def build_model(args, hp: Optional[Dict[str, Any]] = None) -> BuiltModel:
             params = quant.quantize_tree_int8(params)
         else:
             params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    return BuiltModel(cfg, params, adapters, tokenizer, suppress)
+    return BuiltModel(cfg, params, adapters, tokenizer, suppress,
+                      begin_suppress)
 
 
 def _resolve_path(args, name: str) -> str:
@@ -327,6 +331,7 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
         compute_wer=not args.skip_wer_eval,
         return_timestamps=args.return_timestamps,
         suppress_tokens=built.suppress_tokens,
+        begin_suppress_tokens=built.begin_suppress_tokens,
         output_dir=out_dir,
         seed=args.random_seed)
 

@@ -58,6 +58,7 @@ class TrainerConfig:
     compute_wer: bool = True
     return_timestamps: bool = False   # reference whisper_models.py:44-48
     suppress_tokens: Optional[List[int]] = None  # whisper generation_config
+    begin_suppress_tokens: Optional[List[int]] = None
     output_dir: str = "./output"
     seed: int = 42
 
@@ -104,10 +105,15 @@ class Trainer:
         self._eval_loss_step = jax.jit(make_eval_loss_step(model_cfg, step_cfg))
         forced = tokenizer.prefix_tokens(cfg.language, cfg.task,
                                          predict_timestamps=cfg.return_timestamps)
+        sp = tokenizer.special
         self._decode = decode_lib.make_decode_fn(
             model_cfg, forced, cfg.generation_max_length,
             cfg.generation_num_beams, step_cfg.compute_dtype,
-            suppress_tokens=cfg.suppress_tokens)
+            suppress_tokens=cfg.suppress_tokens,
+            begin_suppress_tokens=cfg.begin_suppress_tokens,
+            timestamp_begin=(sp.timestamp_begin if cfg.return_timestamps
+                             else None),
+            no_timestamps_id=sp.no_timestamps)
         self.last_eval_metrics: Dict[str, float] = {}
 
     # ------------------------------------------------------------------ eval
