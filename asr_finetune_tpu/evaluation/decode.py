@@ -346,8 +346,11 @@ def make_decode_fn(cfg: WhisperConfig, forced_tokens: Sequence[int],
                    begin_suppress_tokens: Optional[Sequence[int]] = None,
                    timestamp_begin: Optional[int] = None,
                    no_timestamps_id: Optional[int] = None,
-                   kv_int8: bool = False):
-    """jit-wrapped decode entry used by the trainer's eval and offline eval."""
+                   kv_int8: bool = False, out_sharding=None):
+    """jit-wrapped decode entry used by the trainer's eval and offline eval.
+
+    out_sharding: pass a fully-replicated NamedSharding in multi-host runs
+    so every process can read the full token matrix for WER scoring."""
     kw = dict(suppress_tokens=suppress_tokens,
               begin_suppress_tokens=begin_suppress_tokens,
               timestamp_begin=timestamp_begin,
@@ -361,4 +364,6 @@ def make_decode_fn(cfg: WhisperConfig, forced_tokens: Sequence[int],
         def fn(params, mel, adapters=None):
             return beam_decode(params, mel, cfg, forced_tokens, max_length,
                                num_beams, 1.0, adapters, compute_dtype, **kw)
+    if out_sharding is not None:
+        return jax.jit(fn, out_shardings=out_sharding)
     return jax.jit(fn)

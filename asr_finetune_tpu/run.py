@@ -243,7 +243,9 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
     setup_logging(logging.DEBUG if args.debug else logging.INFO)
     out_dir = trial_dir or os.path.join(args.output_dir, args.output_tag)
     os.makedirs(out_dir, exist_ok=True)
-    dump_config(out_dir, {**vars(args), **{f"hp.{k}": v for k, v in hp.items()}})
+    if jax.process_index() == 0:
+        dump_config(out_dir,
+                    {**vars(args), **{f"hp.{k}": v for k, v in hp.items()}})
 
     built = build_model(args, hp)
     cfg = built.cfg
@@ -347,12 +349,14 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
                       eval_batches_fn=eval_batches_fn,
                       checkpoints=ckpt,
                       metrics_logger=MetricsLogger(out_dir),
-                      on_evaluate=on_evaluate)
+                      on_evaluate=on_evaluate,
+                      eval_batch_sharding=mesh_lib.batch_sharding(mesh))
     resume = args.resume_training if resume_override is None else resume_override
     result = trainer.train(resume=resume)
-    save_trial_manifest(out_dir, {"result": result, "hp": hp,
-                                  "args": {k: v for k, v in vars(args).items()
-                                           if not k.startswith("_")}})
+    if jax.process_index() == 0:
+        save_trial_manifest(out_dir, {"result": result, "hp": hp,
+                                      "args": {k: v for k, v in vars(args).items()
+                                               if not k.startswith("_")}})
     ckpt.close()
     return result
 

@@ -83,9 +83,12 @@ class Trainer:
                  eval_batches_fn: Optional[Callable[[int], List[Dict[str, Any]]]] = None,
                  checkpoints: Optional[CheckpointManager] = None,
                  metrics_logger: Optional[MetricsLogger] = None,
-                 on_evaluate: Optional[Callable[[int, Dict[str, float]], bool]] = None):
+                 on_evaluate: Optional[Callable[[int, Dict[str, float]], bool]] = None,
+                 eval_batch_sharding=None):
         """train_iter(start_step) → infinite batch iterator (device-ready);
-        eval_batches_fn(shard_id) → list of eval batches for one val shard."""
+        eval_batches_fn(shard_id) → list of eval batches for one val shard.
+        eval_batch_sharding: NamedSharding for eval batches; required for
+        multi-host runs (each process feeds its slice, metrics are global)."""
         self.model_cfg = model_cfg
         self.state = state
         self.cfg = cfg
@@ -94,7 +97,12 @@ class Trainer:
         self.train_iter = train_iter
         self.eval_batches_fn = eval_batches_fn
         self.checkpoints = checkpoints
+        self.eval_batch_sharding = eval_batch_sharding
         self.metrics = metrics_logger or MetricsLogger(cfg.output_dir)
+        self._multihost = jax.process_count() > 1
+        if self._multihost and eval_batch_sharding is None \
+                and eval_batches_fn is not None:
+            raise ValueError("multi-host eval needs eval_batch_sharding")
         # HPO hook: called after each eval; returning False stops the trial
         # early (the ASHA early-stop channel, reference
         # ray_searchers_and_schedulers.py:63-76)
@@ -106,6 +114,11 @@ class Trainer:
         forced = tokenizer.prefix_tokens(cfg.language, cfg.task,
                                          predict_timestamps=cfg.return_timestamps)
         sp = tokenizer.special
+        decode_out = None
+        if self._multihost and eval_batch_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            decode_out = NamedSharding(eval_batch_sharding.mesh,
+                                       PartitionSpec())
         self._decode = decode_lib.make_decode_fn(
             model_cfg, forced, cfg.generation_max_length,
             cfg.generation_num_beams, step_cfg.compute_dtype,
@@ -113,7 +126,8 @@ class Trainer:
             begin_suppress_tokens=cfg.begin_suppress_tokens,
             timestamp_begin=(sp.timestamp_begin if cfg.return_timestamps
                              else None),
-            no_timestamps_id=sp.no_timestamps)
+            no_timestamps_id=sp.no_timestamps,
+            out_sharding=decode_out)
         self.last_eval_metrics: Dict[str, float] = {}
 
     # ------------------------------------------------------------------ eval
@@ -136,6 +150,22 @@ class Trainer:
             device_batch = {k: v for k, v in batch.items()
                             if k in ("mel", "audio", "decoder_input_ids", "labels")}
             n_valid = int(batch.get("n_valid", len(batch["text"])))
+            if self._multihost:
+                # eval_batches_fn builds identical full batches on every
+                # process (val indices are not process-sharded); each process
+                # contributes its CONTIGUOUS slice so global row order
+                # matches batch["text"] (process devices are contiguous in
+                # mesh order)
+                from ..data.pipeline import make_global_batch
+                pc, pi = jax.process_count(), jax.process_index()
+                B0 = next(iter(device_batch.values())).shape[0]
+                if B0 % pc != 0:
+                    raise ValueError(
+                        f"eval batch {B0} not divisible by {pc} processes")
+                nl = B0 // pc
+                local = {k: v[pi * nl:(pi + 1) * nl]
+                         for k, v in device_batch.items()}
+                device_batch = make_global_batch(local, self.eval_batch_sharding)
             m = self._eval_loss_step(self.state, device_batch)
             losses.append(float(m["loss"]))
             counts.append(int(m["tokens"]))

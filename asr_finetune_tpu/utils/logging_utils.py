@@ -29,10 +29,19 @@ class MetricsLogger:
 
     def __init__(self, directory: str, use_tensorboard: bool = True):
         self.directory = directory
+        # multi-host: only rank 0 writes (every rank computes identical
+        # metrics; concurrent appends to one shared file would interleave)
+        self._active = True
+        try:
+            import jax
+            self._active = jax.process_index() == 0
+        except Exception:  # noqa: BLE001
+            pass
         os.makedirs(directory, exist_ok=True)
-        self._jsonl = open(os.path.join(directory, "metrics.jsonl"), "a")
+        self._jsonl = (open(os.path.join(directory, "metrics.jsonl"), "a")
+                       if self._active else None)
         self._tb = None
-        if use_tensorboard:
+        if use_tensorboard and self._active:
             try:
                 from torch.utils.tensorboard import SummaryWriter
                 self._tb = SummaryWriter(log_dir=directory)
@@ -40,6 +49,8 @@ class MetricsLogger:
                 logger.warning("tensorboard writer unavailable: %s", e)
 
     def log(self, step: int, metrics: Dict[str, Any]) -> None:
+        if not self._active:
+            return
         rec = {"step": int(step), "time": time.time()}
         for k, v in metrics.items():
             try:
@@ -55,7 +66,8 @@ class MetricsLogger:
                 self._tb.add_scalar(k, v, step)
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
 

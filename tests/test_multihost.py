@@ -34,3 +34,36 @@ def test_two_process_distributed_train_step(tmp_path):
         assert m, out[-2000:]
         losses.append(float(m.group(1)))
     assert losses[0] == losses[1], losses
+
+
+def test_two_process_full_trial_eval_checkpoint_resume(tmp_path):
+    """The WHOLE trial under 2 processes: train steps, eval (loss + WER via
+    the replicated decode), Orbax save, and a resumed continuation — with
+    identical metrics on both ranks."""
+    h5 = tmp_path / "mh_trial.h5"
+    make_synthetic_dataset(str(h5), n=40, seed=1, min_sec=0.5, max_sec=1.0)
+    worker = pathlib.Path(__file__).parent / "_multihost_trial_worker.py"
+    coord = "127.0.0.1:19881"
+    out_dir = tmp_path / "trial"
+
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(r), "2", coord, str(h5),
+         str(out_dir)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for r in range(2)]
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+
+    for tag in ("R1", "R2"):
+        vals = []
+        for r, out in enumerate(outs):
+            m = re.search(rf"RANK{r}_{tag}=(.+)", out)
+            assert m, out[-4000:]
+            vals.append(m.group(1).strip())
+        assert vals[0] == vals[1], (tag, vals)
+    # eval actually produced WER metrics (decode ran multi-host)
+    assert '"eval_wer"' in outs[0], outs[0][-2000:]
+    # the resumed run continued from the checkpoint
+    assert '"final_step": 6' in outs[0].replace(" ", "").replace(
+        '"final_step":6', '"final_step": 6'), outs[0][-2000:]
