@@ -310,8 +310,13 @@ def decode_train(params: Params, tokens: jax.Array, enc_out: jax.Array,
                  compute_dtype: jnp.dtype = jnp.bfloat16,
                  remat: bool = False, attn_impl: str = "auto",
                  lora_dropout: float = 0.0,
-                 dropout_rng: Optional[jax.Array] = None) -> jax.Array:
-    """Teacher-forced decode: tokens (B, T) → logits (B, T, vocab)."""
+                 dropout_rng: Optional[jax.Array] = None,
+                 return_hidden: bool = False) -> jax.Array:
+    """Teacher-forced decode: tokens (B, T) → logits (B, T, vocab).
+
+    return_hidden: return the post-ln hidden states (B, T, d) instead of
+    projecting to the vocab — the fused chunked CE (ops/fused_ce.py) does
+    the projection inside the loss so (B, T, V) never materializes."""
     dec = params["decoder"]
     B, T = tokens.shape
     x = dec["embed"].astype(compute_dtype)[tokens]
@@ -354,6 +359,8 @@ def decode_train(params: Params, tokens: jax.Array, enc_out: jax.Array,
         x, _ = jax.lax.scan(body2, x, (dec["layers"], dec_adapters))
 
     x = layer_norm(x, dec["ln_post"])
+    if return_hidden:
+        return x
     # tied output projection; logits in fp32 for a stable softmax/loss
     logits = jnp.einsum("btd,vd->btv", x, dec["embed"].astype(compute_dtype),
                         preferred_element_type=_pet(compute_dtype))
@@ -366,7 +373,8 @@ def forward(params: Params, mel: jax.Array, tokens: jax.Array,
             remat: bool = False, attn_impl: str = "auto",
             decoder_attn_impl: Optional[str] = None,
             lora_dropout: float = 0.0,
-            dropout_rng: Optional[jax.Array] = None) -> jax.Array:
+            dropout_rng: Optional[jax.Array] = None,
+            return_hidden: bool = False) -> jax.Array:
     """Full teacher-forced forward: (mel, decoder_input_ids) → logits.
 
     attn_impl selects the ENCODER attention ("xla" | "flash" | "auto"),
@@ -385,7 +393,8 @@ def forward(params: Params, mel: jax.Array, tokens: jax.Array,
                      attn_impl, lora_dropout, r_enc)
     dec_impl = attn_impl if decoder_attn_impl is None else decoder_attn_impl
     return decode_train(params, tokens, enc_out, cfg, adapters, compute_dtype,
-                        remat, dec_impl, lora_dropout, r_dec)
+                        remat, dec_impl, lora_dropout, r_dec,
+                        return_hidden=return_hidden)
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,8 @@ class TrainStepConfig:
     decoder_attn_impl: str = "xla"       # decoder: short padded seqs don't
                                          # amortize flash pad/transpose cost
                                          # (see models/whisper.py forward)
+    fused_ce: bool = True                # chunked CE; (B,T,V) fp32 logits
+                                         # never materialize (ops/fused_ce.py)
     max_steps: int = 10000
     lora: Optional[lora_lib.LoraConfig] = None
 
@@ -93,12 +95,20 @@ def make_loss_fn(model_cfg: WhisperConfig, cfg: TrainStepConfig):
         if cfg.mode == "peft" and cfg.lora and rng is not None:
             lora_dropout = cfg.lora.dropout
             dropout_rng = jax.random.fold_in(rng, 1)
-        logits = W.forward(params, mel, batch["decoder_input_ids"], model_cfg,
-                           adapters=adapters, compute_dtype=cfg.compute_dtype,
-                           remat=cfg.remat, attn_impl=cfg.attn_impl,
-                           decoder_attn_impl=cfg.decoder_attn_impl,
-                           lora_dropout=lora_dropout, dropout_rng=dropout_rng)
-        loss, n_tok = W.cross_entropy(logits, batch["labels"], cfg.label_smoothing)
+        out = W.forward(params, mel, batch["decoder_input_ids"], model_cfg,
+                        adapters=adapters, compute_dtype=cfg.compute_dtype,
+                        remat=cfg.remat, attn_impl=cfg.attn_impl,
+                        decoder_attn_impl=cfg.decoder_attn_impl,
+                        lora_dropout=lora_dropout, dropout_rng=dropout_rng,
+                        return_hidden=cfg.fused_ce)
+        if cfg.fused_ce:
+            from ..ops.fused_ce import fused_cross_entropy
+            loss, n_tok = fused_cross_entropy(
+                out, params["decoder"]["embed"], batch["labels"],
+                cfg.label_smoothing, embed_grad=(cfg.mode == "full"))
+        else:
+            loss, n_tok = W.cross_entropy(out, batch["labels"],
+                                          cfg.label_smoothing)
         metrics = {"loss": loss, "tokens": n_tok}
         if cfg.mode == "peft" and cfg.lora and cfg.lora.adalora \
                 and cfg.lora.orth_reg_weight > 0:

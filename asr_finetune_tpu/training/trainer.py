@@ -242,6 +242,12 @@ class Trainer:
                     "utt_per_sec": utts_since / max(dt, 1e-9),
                     "tokens_per_sec": tokens_since / max(dt, 1e-9),
                 }
+                # continuous per-host utilization series (HBM in use, host
+                # RSS) → metrics.jsonl/TB — the live-dashboard capability of
+                # the reference's Ray/Grafana wiring
+                # (finetune_large_debug_dashboard.sh:118-200)
+                from ..utils.profiling import log_memory_usage
+                rec.update(log_memory_usage(quiet=True))
                 self.metrics.log(step, rec)
                 window_losses.clear()
                 tokens_since = utts_since = 0

@@ -35,7 +35,7 @@ def trace(logdir: str, create_perfetto_link: bool = False) -> Iterator[None]:
                     "--logdir %s, Profile tab)", logdir, logdir)
 
 
-def log_memory_usage(tag: str = "") -> Dict[str, float]:
+def log_memory_usage(tag: str = "", quiet: bool = False) -> Dict[str, float]:
     stats: Dict[str, float] = {}
     try:
         import psutil
@@ -51,7 +51,7 @@ def log_memory_usage(tag: str = "") -> Dict[str, float]:
                 stats[f"{d.id}_peak_gb"] = ms.get("peak_bytes_in_use", 0) / 1e9
     except Exception:  # noqa: BLE001
         pass
-    if stats:
+    if stats and not quiet:
         logger.info("memory%s: %s", f" [{tag}]" if tag else "",
                     {k: round(v, 3) for k, v in stats.items()})
     return stats

@@ -93,12 +93,21 @@ def main():
     utt_per_sec_per_chip = BATCH * STEPS / dt / n_chips
     mode_desc = "full fine-tune + SpecAugment" if MODE == "full" \
         else "LoRA fine-tune"
+
+    # self-auditing MFU: useful model matmul FLOPs (remat recompute
+    # excluded) over the chip's bf16 peak — see utils/flops.py
+    from asr_finetune_tpu.utils import flops as F
+    step_flops = F.train_step_flops(cfg, BATCH, LABEL_LEN, mode=MODE)
+    step_mfu = F.mfu(step_flops, dt / STEPS, chip="v5e", n_chips=n_chips)
+
     print(json.dumps({
         "metric": f"utterances/sec/chip ({MODEL} {mode_desc}, bs={BATCH}, "
                   f"labels={LABEL_LEN}, on-device log-mel)",
         "value": round(utt_per_sec_per_chip, 3),
         "unit": "utt/s/chip",
         "vs_baseline": round(utt_per_sec_per_chip / A100_BASELINE_UTT_PER_SEC, 3),
+        "mfu": round(step_mfu, 4),
+        "model_tflops_per_step": round(step_flops / 1e12, 2),
     }))
 
 
