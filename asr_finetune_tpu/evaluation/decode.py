@@ -13,6 +13,7 @@ per token; early exit when every sequence has emitted <|endoftext|>.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -23,6 +24,87 @@ from ..models import whisper as W
 from ..models.configs import WhisperConfig
 
 Params = Dict[str, Any]
+
+
+def _fused_default() -> bool:
+    """Use the fused Pallas decode path (ops/decoder_fused.py) by default on
+    a single TPU chip; multi-device meshes keep the XLA path (Pallas calls
+    are not auto-partitionable). Override with ASR_TPU_FUSED_DECODE=0/1."""
+    env = os.environ.get("ASR_TPU_FUSED_DECODE")
+    if env is not None:
+        return env.lower() not in ("0", "false", "")
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _cast_decoder_weights(params: Params, dtype) -> Params:
+    """Pre-cast the decoder's matmul weights (not the layernorm params —
+    those are consumed in fp32 either way) so the fused kernels stream
+    compute-dtype bytes instead of re-casting inside the token loop.
+    Matches the non-fused numerics: dense() casts w/b to the activation
+    dtype at every use."""
+    def cast(t):
+        return jax.tree.map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+
+    layers = dict(params["decoder"]["layers"])
+    for blk in ("self_attn", "cross_attn", "mlp"):
+        layers[blk] = cast(layers[blk])
+    dec = dict(params["decoder"])
+    dec["layers"] = layers
+    dec["embed"] = dec["embed"].astype(dtype)
+    dec["pos"] = dec["pos"].astype(dtype)
+    return {**params, "decoder": dec}
+
+
+def _prepare_fused(enc_out, cross_kv, cfg, max_length, compute_dtype):
+    """One-time (per decode call, outside the token loop) arrangement for
+    decode_step_fused: pad cross K/V to a 128-multiple source length,
+    expand int8 scales to dense (L, B, d), pick a 128-multiple cache
+    length."""
+    S_real = int(enc_out.shape[1])
+    S_pad = _round_up(S_real, 128)
+    hd = cfg.d_model // cfg.decoder_heads
+
+    def pad_s(a):
+        if a.shape[2] == S_pad:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[2] = (0, S_pad - a.shape[2])
+        return jnp.pad(a, widths)
+
+    if "k_q8" in cross_kv:
+        ckv = {
+            "k_q8": pad_s(cross_kv["k_q8"]),
+            "v_q8": pad_s(cross_kv["v_q8"]),
+            # (L, B, 1, H, 1) → (L, B, d): index j uses head j // hd
+            "k_scale_d": jnp.repeat(cross_kv["k_scale"][:, :, 0, :, 0],
+                                    hd, axis=-1),
+            "v_scale_d": jnp.repeat(cross_kv["v_scale"][:, :, 0, :, 0],
+                                    hd, axis=-1),
+        }
+    else:
+        ckv = {"k": pad_s(cross_kv["k"]).astype(compute_dtype),
+               "v": pad_s(cross_kv["v"]).astype(compute_dtype)}
+    cache_len = _round_up(max_length, 128)
+    return ckv, S_real, cache_len
+
+
+def _quantize_decoder_weights(params: Params) -> Params:
+    """Opt-in int8 decoder weights for the token loop (w_int8 flag): every
+    step re-streams ~1.5 GB of large-v3 decoder weights from HBM, so int8
+    halves the dominant weight traffic of autoregressive decoding. Applied
+    AFTER encode/precompute_cross_kv so the one-time full-sequence math
+    stays in full precision; both decode_step (dense() dequant) and the
+    fused kernels (post-matmul column scale) consume the quantized form."""
+    from ..ops.quant import quantize_tree_int8
+    dec = dict(params["decoder"])
+    dec["layers"] = quantize_tree_int8(dec["layers"])
+    return {**params, "decoder": dec}
 
 
 def _suppress_bias(vocab: int, suppress_tokens: Optional[Sequence[int]]):
@@ -112,7 +194,9 @@ def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
                   begin_suppress_tokens: Optional[Sequence[int]] = None,
                   timestamp_begin: Optional[int] = None,
                   no_timestamps_id: Optional[int] = None,
-                  kv_int8: bool = False) -> Tuple[jax.Array, jax.Array]:
+                  kv_int8: bool = False,
+                  w_int8: bool = False,
+                  fused: Optional[bool] = None) -> Tuple[jax.Array, jax.Array]:
     """Returns (tokens (B, max_length), lengths (B,)).
 
     kv_int8 quantizes the precomputed cross-attention K/V to int8, halving
@@ -126,6 +210,9 @@ def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     only at the first unforced position (HF SuppressTokensAtBegin).
     With timestamp_begin set, whisper's timestamp grammar is enforced
     (_apply_timestamp_rules) — the reference's return_timestamps path.
+    fused (default: auto — on for a single TPU chip) routes each token step
+    through the fused Pallas layer kernels (W.decode_step_fused); adapters
+    are exactly folded into the weights first (lora.merge_adapters).
     """
     B = mel.shape[0]
     eot = cfg.eos_token_id
@@ -137,13 +224,34 @@ def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     with_ts = timestamp_begin is not None
     no_ts_id = (no_timestamps_id if no_timestamps_id is not None
                 else (timestamp_begin - 1 if with_ts else 0))
+    if fused is None:
+        fused = _fused_default()
+    if fused and adapters is not None:
+        from ..training.lora import merge_adapters
+        params = merge_adapters(params, adapters)
+        adapters = None
 
     enc_out = W.encode(params, mel, cfg, adapters, compute_dtype,
                        attn_impl="auto")  # inference: flash where it wins
     cross_kv = W.precompute_cross_kv(params, enc_out, cfg, adapters)
     if kv_int8:
         cross_kv = W.quantize_cross_kv(cross_kv)
-    cache = W.init_cache(cfg, B, max_length, dtype=compute_dtype)
+    if fused:
+        params = _cast_decoder_weights(params, compute_dtype)
+        cross_kv, s_real, cache_len = _prepare_fused(
+            enc_out, cross_kv, cfg, max_length, compute_dtype)
+    else:
+        cache_len = max_length
+    if w_int8:
+        params = _quantize_decoder_weights(params)
+    cache = W.init_cache(cfg, B, cache_len, dtype=compute_dtype)
+
+    def step_fn(cur, t, cache):
+        if fused:
+            return W.decode_step_fused(params, cur, t, cache, cross_kv,
+                                       cfg, s_real, compute_dtype)
+        return W.decode_step(params, cur, t, cache, cross_kv, cfg,
+                             adapters, compute_dtype)
 
     tokens0 = jnp.full((B, max_length), eot, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(forced[0])
@@ -155,8 +263,7 @@ def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     def body(carry):
         t, tokens, cache, finished, last_ts = carry
         cur = jax.lax.dynamic_index_in_dim(tokens, t, axis=1, keepdims=False)
-        logits, cache = W.decode_step(params, cur, t, cache, cross_kv, cfg,
-                                      adapters, compute_dtype)
+        logits, cache = step_fn(cur, t, cache)
         if bias is not None:
             logits = logits + bias
         is_begin = (t + 1) == n_forced
@@ -204,14 +311,16 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
                 begin_suppress_tokens: Optional[Sequence[int]] = None,
                 timestamp_begin: Optional[int] = None,
                 no_timestamps_id: Optional[int] = None,
-                kv_int8: bool = False) -> Tuple[jax.Array, jax.Array]:
+                kv_int8: bool = False,
+                w_int8: bool = False,
+                fused: Optional[bool] = None) -> Tuple[jax.Array, jax.Array]:
     """Beam search via flattened (B*num_beams) batch; returns best beam's
     (tokens (B, max_length), lengths (B,)).
 
     Standard HF-style beam semantics: running beams score by summed logprob;
     finished beams are frozen and compared with length penalty
-    (score / len**penalty). begin_suppress_tokens and the timestamp grammar
-    behave as in greedy_decode.
+    (score / len**penalty). begin_suppress_tokens, the timestamp grammar and
+    the fused Pallas step behave as in greedy_decode.
     """
     B = mel.shape[0]
     K = num_beams
@@ -224,13 +333,34 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     with_ts = timestamp_begin is not None
     no_ts_id = (no_timestamps_id if no_timestamps_id is not None
                 else (timestamp_begin - 1 if with_ts else 0))
+    if fused is None:
+        fused = _fused_default()
+    if fused and adapters is not None:
+        from ..training.lora import merge_adapters
+        params = merge_adapters(params, adapters)
+        adapters = None
 
     enc_out = W.encode(params, mel, cfg, adapters, compute_dtype)
     enc_out = jnp.repeat(enc_out, K, axis=0)          # (B*K, S, d)
     cross_kv = W.precompute_cross_kv(params, enc_out, cfg, adapters)
     if kv_int8:
         cross_kv = W.quantize_cross_kv(cross_kv)
-    cache = W.init_cache(cfg, B * K, max_length, dtype=compute_dtype)
+    if fused:
+        params = _cast_decoder_weights(params, compute_dtype)
+        cross_kv, s_real, cache_len = _prepare_fused(
+            enc_out, cross_kv, cfg, max_length, compute_dtype)
+    else:
+        cache_len = max_length
+    if w_int8:
+        params = _quantize_decoder_weights(params)
+    cache = W.init_cache(cfg, B * K, cache_len, dtype=compute_dtype)
+
+    def step_fn(cur, t, cache):
+        if fused:
+            return W.decode_step_fused(params, cur, t, cache, cross_kv,
+                                       cfg, s_real, compute_dtype)
+        return W.decode_step(params, cur, t, cache, cross_kv, cfg,
+                             adapters, compute_dtype)
 
     tokens0 = jnp.full((B, K, max_length), eot, jnp.int32).at[:, :, 0].set(forced[0])
     # beam 0 active, others start at -inf so step 1 doesn't duplicate
@@ -249,8 +379,7 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
          last_ts) = carry
         cur = jax.lax.dynamic_index_in_dim(
             tokens.reshape(B * K, max_length), t, axis=1, keepdims=False)
-        logits, new_cache = W.decode_step(params, cur, t, cache, cross_kv, cfg,
-                                          adapters, compute_dtype)
+        logits, new_cache = step_fn(cur, t, cache)
         if bias is not None:
             logits = logits + bias
         is_begin = (t + 1) == n_forced
@@ -346,7 +475,9 @@ def make_decode_fn(cfg: WhisperConfig, forced_tokens: Sequence[int],
                    begin_suppress_tokens: Optional[Sequence[int]] = None,
                    timestamp_begin: Optional[int] = None,
                    no_timestamps_id: Optional[int] = None,
-                   kv_int8: bool = False, out_sharding=None):
+                   kv_int8: bool = False, w_int8: bool = False,
+                   out_sharding=None,
+                   fused: Optional[bool] = None):
     """jit-wrapped decode entry used by the trainer's eval and offline eval.
 
     out_sharding: pass a fully-replicated NamedSharding in multi-host runs
@@ -355,7 +486,7 @@ def make_decode_fn(cfg: WhisperConfig, forced_tokens: Sequence[int],
               begin_suppress_tokens=begin_suppress_tokens,
               timestamp_begin=timestamp_begin,
               no_timestamps_id=no_timestamps_id,
-              kv_int8=kv_int8)
+              kv_int8=kv_int8, w_int8=w_int8, fused=fused)
     if num_beams <= 1:
         def fn(params, mel, adapters=None):
             return greedy_decode(params, mel, cfg, forced_tokens, max_length,

@@ -523,6 +523,95 @@ def decode_step(params: Params, token: jax.Array, pos: jax.Array,
     return logits, {"k": new_k, "v": new_v}
 
 
+def decode_step_fused(params: Params, token: jax.Array, pos: jax.Array,
+                      cache: Params, cross_kv: Params, cfg: WhisperConfig,
+                      s_valid: int,
+                      compute_dtype: jnp.dtype = jnp.bfloat16
+                      ) -> Tuple[jax.Array, Params]:
+    """One autoregressive step through the fused Pallas layer kernels
+    (ops/decoder_fused.py): 4 bandwidth-bound kernels per layer instead of
+    ~15 dispatch-bound XLA ops — the round-1 decode diagnosis fix.
+
+    Requirements (arranged by evaluation/decode.py): adapters already merged
+    into params (training/lora.merge_adapters), cache length a 128-multiple,
+    cross K/V padded on the source axis to a 128-multiple with s_valid the
+    real source length. int8 cross-KV passes {k_q8, v_q8} plus dense
+    per-(batch, head) scales {k_scale_d, v_scale_d} (L, B, d); dequant is
+    fused into the kernel's streamed read.
+    """
+    from ..ops import decoder_fused as DF
+
+    dec = params["decoder"]
+    B = token.shape[0]
+    d = cfg.d_model
+    H = cfg.decoder_heads
+    x = dec["embed"].astype(compute_dtype)[token]                  # (B, d)
+    x = x + jax.lax.dynamic_slice_in_dim(dec["pos"], pos, 1, 0).astype(compute_dtype)
+
+    kv_quant = "k_q8" in cross_kv
+
+    def wpart(p):
+        """(weight, int8 dequant scale or None) — ops/quant.py layout."""
+        if "w_q8" in p:
+            return p["w_q8"], p["w_scale"]
+        return p["w"], None
+
+    def layer(x, xs):
+        if kv_quant:
+            lp, ck, cv, xk, xk_s, xv, xv_s = xs
+        else:
+            lp, ck, cv, xk, xv = xs
+            xk_s = xv_s = None
+        T = ck.shape[1]
+        S = xk.shape[1]
+        sa, ca, mlp = lp["self_attn"], lp["cross_attn"], lp["mlp"]
+        ckd = ck.reshape(B, T, d)
+        cvd = cv.reshape(B, T, d)
+
+        wq_, sq_ = wpart(sa["q"])
+        wk_, sk_ = wpart(sa["k"])
+        wv_, sv_ = wpart(sa["v"])
+        q, k_new, v_new = DF.fused_qkv(
+            x, lp["ln1"]["scale"], lp["ln1"]["bias"],
+            wq_, sa["q"]["b"], wk_, wv_, sa["v"]["b"],
+            wq_scale=sq_, wk_scale=sk_, wv_scale=sv_, kv_dtype=ckd.dtype)
+        zero = jnp.zeros((), pos.dtype)
+        ckd = jax.lax.dynamic_update_slice(ckd, k_new[:, None, :], (zero, pos, zero))
+        cvd = jax.lax.dynamic_update_slice(cvd, v_new[:, None, :], (zero, pos, zero))
+        wo_, so_ = wpart(sa["o"])
+        x = DF.fused_attn(x, ckd, cvd, wo_, sa["o"]["b"],
+                          q=q, pos=pos, wo_scale=so_)
+        cq_, csq_ = wpart(ca["q"])
+        co_, cso_ = wpart(ca["o"])
+        x = DF.fused_attn(x, xk.reshape(B, S, d), xv.reshape(B, S, d),
+                          co_, ca["o"]["b"], s_valid=s_valid,
+                          ln_scale=lp["ln2"]["scale"], ln_bias=lp["ln2"]["bias"],
+                          wq=cq_, bq=ca["q"]["b"],
+                          k_scale=xk_s, v_scale=xv_s,
+                          wq_scale=csq_, wo_scale=cso_)
+        w1_, s1_ = wpart(mlp["fc1"])
+        w2_, s2_ = wpart(mlp["fc2"])
+        x = DF.fused_mlp(x, lp["ln3"]["scale"], lp["ln3"]["bias"],
+                         w1_, mlp["fc1"]["b"], w2_, mlp["fc2"]["b"],
+                         w1_scale=s1_, w2_scale=s2_)
+        hd = d // H
+        return x, (ckd.reshape(B, T, H, hd), cvd.reshape(B, T, H, hd))
+
+    if kv_quant:
+        xs = (dec["layers"], cache["k"], cache["v"],
+              cross_kv["k_q8"], cross_kv["k_scale_d"],
+              cross_kv["v_q8"], cross_kv["v_scale_d"])
+    else:
+        xs = (dec["layers"], cache["k"], cache["v"],
+              cross_kv["k"], cross_kv["v"])
+    x, (new_k, new_v) = jax.lax.scan(layer, x, xs)
+
+    x = layer_norm(x, dec["ln_post"])
+    logits = jnp.einsum("bd,vd->bv", x, dec["embed"].astype(compute_dtype),
+                        preferred_element_type=_pet(compute_dtype))
+    return logits, {"k": new_k, "v": new_v}
+
+
 # ---------------------------------------------------------------------------
 # loss
 # ---------------------------------------------------------------------------

@@ -226,3 +226,55 @@ def orth_regularizer(adapters: Params, weight: float) -> jax.Array:
 
     walk(adapters)
     return weight * total / max(count, 1)
+
+
+def merge_adapters(params: Params, adapters: Optional[Params]) -> Params:
+    """Fold adapter deltas into the base weights: w' = w + scaling·(a⊙e)@b.
+
+    The eval-time equivalent of PEFT's `merge_and_unload` (the reference's
+    PEFT evaluator reloads adapters onto the base model, evaluate_peft.py);
+    exact at inference since lora_dropout only applies in training. Used by
+    the fused Pallas decode path (ops/decoder_fused.py) so the kernels never
+    see adapter pytrees. int8 bases ({"w_q8","w_scale"}) are dequantized to
+    fp32 before the delta lands (capacity, not speed, is int8's job here).
+    """
+    if adapters is None:
+        return params
+    merged = jax.tree.map(lambda x: x, params)  # shallow-ish structural copy
+
+    def delta(ad: Params) -> jax.Array:
+        ae = ad["a"] * ad["e"]                     # (L, d, r)
+        return jnp.einsum("ldr,lrk->ldk", ae, ad["b"]) \
+            * ad["scaling"][:, None, None]
+
+    def fold(wp: Params, ad: Params) -> Params:
+        if "w_q8" in wp:
+            w = wp["w_q8"].astype(jnp.float32) * wp["w_scale"].astype(jnp.float32)
+        else:
+            w = wp["w"]
+        out = dict(wp)
+        out.pop("w_q8", None)
+        out.pop("w_scale", None)
+        out["w"] = (w + delta(ad).astype(w.dtype))
+        return out
+
+    if "encoder" in adapters:
+        attn = dict(merged["encoder"]["layers"]["attn"])
+        for t, ad in adapters["encoder"].items():
+            attn[t] = fold(attn[t], ad)
+        layers = dict(merged["encoder"]["layers"])
+        layers["attn"] = attn
+        enc = dict(merged["encoder"])
+        enc["layers"] = layers
+        merged["encoder"] = enc
+    if "decoder" in adapters:
+        layers = dict(merged["decoder"]["layers"])
+        for block, ads in adapters["decoder"].items():
+            blk = dict(layers[block])
+            for t, ad in ads.items():
+                blk[t] = fold(blk[t], ad)
+            layers[block] = blk
+        dec = dict(merged["decoder"])
+        dec["layers"] = layers
+        merged["decoder"] = dec
+    return merged

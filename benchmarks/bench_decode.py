@@ -29,6 +29,12 @@ def main(argv=None):
     p.add_argument("--max_length", type=int, default=225)
     p.add_argument("--beams", type=int, default=1)
     p.add_argument("--runs", type=int, default=2)
+    p.add_argument("--kv_int8", action="store_true",
+                   help="int8 cross-attention K/V (halves KV HBM traffic)")
+    p.add_argument("--w_int8", action="store_true",
+                   help="int8 decoder weights (halves weight HBM traffic)")
+    p.add_argument("--fused", default=None,
+                   help="1/0: force the fused Pallas decode path on/off")
     a = p.parse_args(argv)
 
     from asr_finetune_tpu.evaluation import decode as D
@@ -44,7 +50,9 @@ def main(argv=None):
     ).astype(np.float32))
     sp_forced = [cfg.sot_token_id, cfg.sot_token_id + 3,
                  cfg.transcribe_token_id, cfg.no_timestamps_token_id]
-    fn = D.make_decode_fn(cfg, sp_forced, a.max_length, a.beams)
+    fused = None if a.fused is None else a.fused not in ("0", "false")
+    fn = D.make_decode_fn(cfg, sp_forced, a.max_length, a.beams,
+                          kv_int8=a.kv_int8, w_int8=a.w_int8, fused=fused)
 
     tokens, _ = fn(params, mel)
     _ = np.asarray(tokens)  # force full sync (compile + run)
@@ -57,7 +65,9 @@ def main(argv=None):
     dt = min(times)
     print(json.dumps({
         "metric": f"decode ({a.model}, greedy x{a.beams} beams, "
-                  f"bs={a.batch}, max_len={a.max_length})",
+                  f"bs={a.batch}, max_len={a.max_length}"
+                  f"{', kv_int8' if a.kv_int8 else ''}"
+                  f"{', w_int8' if a.w_int8 else ''})",
         "seconds_per_batch": round(dt, 3),
         "utterances_per_sec": round(a.batch / dt, 3),
         "tokens_per_sec": round(a.batch * a.max_length / dt, 1),
