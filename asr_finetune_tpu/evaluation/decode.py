@@ -63,24 +63,26 @@ def _cast_decoder_weights(params: Params, dtype) -> Params:
 
 def _prepare_fused(enc_out, cross_kv, cfg, max_length, compute_dtype):
     """One-time (per decode call, outside the token loop) arrangement for
-    decode_step_fused: pad cross K/V to a 128-multiple source length,
-    expand int8 scales to dense (L, B, d), pick a 128-multiple cache
-    length."""
+    decode_step_fused: pad cross K/V to a 128-multiple source length and
+    flatten heads to the kernels' dense (L, B, S, d) layout (one copy here
+    instead of a reshape inside the token loop), expand int8 scales to
+    dense (L, B, d), pick a 128-multiple cache length."""
     S_real = int(enc_out.shape[1])
     S_pad = _round_up(S_real, 128)
     hd = cfg.d_model // cfg.decoder_heads
 
-    def pad_s(a):
-        if a.shape[2] == S_pad:
-            return a
-        widths = [(0, 0)] * a.ndim
-        widths[2] = (0, S_pad - a.shape[2])
-        return jnp.pad(a, widths)
+    def pad_dense(a):
+        # (L, B, S, H, hd) → padded (L, B, S_pad, H*hd)
+        if a.shape[2] != S_pad:
+            widths = [(0, 0)] * a.ndim
+            widths[2] = (0, S_pad - a.shape[2])
+            a = jnp.pad(a, widths)
+        return a.reshape(a.shape[0], a.shape[1], S_pad, -1)
 
     if "k_q8" in cross_kv:
         ckv = {
-            "k_q8": pad_s(cross_kv["k_q8"]),
-            "v_q8": pad_s(cross_kv["v_q8"]),
+            "k_q8": pad_dense(cross_kv["k_q8"]),
+            "v_q8": pad_dense(cross_kv["v_q8"]),
             # (L, B, 1, H, 1) → (L, B, d): index j uses head j // hd
             "k_scale_d": jnp.repeat(cross_kv["k_scale"][:, :, 0, :, 0],
                                     hd, axis=-1),
@@ -88,8 +90,8 @@ def _prepare_fused(enc_out, cross_kv, cfg, max_length, compute_dtype):
                                     hd, axis=-1),
         }
     else:
-        ckv = {"k": pad_s(cross_kv["k"]).astype(compute_dtype),
-               "v": pad_s(cross_kv["v"]).astype(compute_dtype)}
+        ckv = {"k": pad_dense(cross_kv["k"]).astype(compute_dtype),
+               "v": pad_dense(cross_kv["v"]).astype(compute_dtype)}
     cache_len = _round_up(max_length, 128)
     return ckv, S_real, cache_len
 
@@ -244,7 +246,7 @@ def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
         cache_len = max_length
     if w_int8:
         params = _quantize_decoder_weights(params)
-    cache = W.init_cache(cfg, B, cache_len, dtype=compute_dtype)
+    cache = W.init_cache(cfg, B, cache_len, dtype=compute_dtype, dense=fused)
 
     def step_fn(cur, t, cache):
         if fused:
@@ -353,7 +355,8 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
         cache_len = max_length
     if w_int8:
         params = _quantize_decoder_weights(params)
-    cache = W.init_cache(cfg, B * K, cache_len, dtype=compute_dtype)
+    cache = W.init_cache(cfg, B * K, cache_len, dtype=compute_dtype,
+                         dense=fused)
 
     def step_fn(cur, t, cache):
         if fused:
@@ -419,7 +422,7 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
             last_ts = jnp.take_along_axis(last_ts, beam_idx, axis=1)
             last_ts = jnp.where(tok_idx >= timestamp_begin, tok_idx, last_ts)
 
-        # reorder cache: (L, B*K, T, H, hd) → index on beam dim
+        # reorder cache on the beam dim: (L, B*K, T, ...) either layout
         flat_idx = (jnp.arange(B)[:, None] * K + beam_idx).reshape(-1)
         new_cache = {k: v[:, flat_idx] for k, v in new_cache.items()}
 

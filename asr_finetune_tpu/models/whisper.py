@@ -402,9 +402,15 @@ def forward(params: Params, mel: jax.Array, tokens: jax.Array,
 # ---------------------------------------------------------------------------
 
 def init_cache(cfg: WhisperConfig, batch: int, max_len: int,
-               dtype: jnp.dtype = jnp.bfloat16) -> Params:
+               dtype: jnp.dtype = jnp.bfloat16, dense: bool = False) -> Params:
+    """dense=True is the decode_step_fused layout (L, B, T, d): the cache
+    array must keep ONE shape through the whole token loop — a reshape at
+    the step boundary materializes two full cache copies per token (the
+    round-2 profile's single largest decode cost, ~6 ms/token at large-v3
+    bs 8) because XLA can't alias the while-loop carry through it."""
     L, H, hd = cfg.decoder_layers, cfg.decoder_heads, cfg.d_model // cfg.decoder_heads
-    shape = (L, batch, max_len, H, hd)
+    shape = ((L, batch, max_len, H * hd) if dense
+             else (L, batch, max_len, H, hd))
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -530,25 +536,43 @@ def decode_step_fused(params: Params, token: jax.Array, pos: jax.Array,
                       ) -> Tuple[jax.Array, Params]:
     """One autoregressive step through the fused Pallas layer kernels
     (ops/decoder_fused.py): 4 bandwidth-bound kernels per layer instead of
-    ~15 dispatch-bound XLA ops — the round-1 decode diagnosis fix.
+    ~15 XLA ops, AND zero slice copies — the layer loop scans only the layer
+    index while the kernels' BlockSpec index_maps (scalar-prefetched l) read
+    their blocks directly from the full stacked weight/cache/cross tensors.
+    (A scan over stacked xs would dynamic-slice ~46 MB of weights plus the
+    layer's KV out of HBM each iteration — a read+write copy before the
+    compute reads it again, tripling the step's HBM traffic.)
 
     Requirements (arranged by evaluation/decode.py): adapters already merged
-    into params (training/lora.merge_adapters), cache length a 128-multiple,
-    cross K/V padded on the source axis to a 128-multiple with s_valid the
-    real source length. int8 cross-KV passes {k_q8, v_q8} plus dense
-    per-(batch, head) scales {k_scale_d, v_scale_d} (L, B, d); dequant is
-    fused into the kernel's streamed read.
+    into params (training/lora.merge_adapters), cache from
+    init_cache(dense=True) — i.e. (L, B, T, d) with T a 128-multiple — and
+    cross K/V already dense (L, B, S, d), padded on the source axis to a
+    128-multiple with s_valid the real source length (_prepare_fused does
+    both). The dense layouts are load-bearing: any reshape of the cache at
+    this boundary breaks XLA's while-loop carry aliasing and costs two full
+    cache copies per token. int8 cross-KV passes {k_q8, v_q8} (L, B, S, d)
+    plus per-(batch, head) scales {k_scale_d, v_scale_d} (L, B, d); dequant
+    is fused into the kernel's streamed read.
     """
     from ..ops import decoder_fused as DF
 
     dec = params["decoder"]
+    lay = dec["layers"]
     B = token.shape[0]
     d = cfg.d_model
-    H = cfg.decoder_heads
+    L = cfg.decoder_layers
     x = dec["embed"].astype(compute_dtype)[token]                  # (B, d)
     x = x + jax.lax.dynamic_slice_in_dim(dec["pos"], pos, 1, 0).astype(compute_dtype)
 
     kv_quant = "k_q8" in cross_kv
+    ck0 = cache["k"]
+    cv0 = cache["v"]
+    if kv_quant:
+        xk, xv = cross_kv["k_q8"], cross_kv["v_q8"]
+        xk_s, xv_s = cross_kv["k_scale_d"], cross_kv["v_scale_d"]
+    else:
+        xk, xv = cross_kv["k"], cross_kv["v"]
+        xk_s = xv_s = None
 
     def wpart(p):
         """(weight, int8 dequant scale or None) — ops/quant.py layout."""
@@ -556,60 +580,49 @@ def decode_step_fused(params: Params, token: jax.Array, pos: jax.Array,
             return p["w_q8"], p["w_scale"]
         return p["w"], None
 
-    def layer(x, xs):
-        if kv_quant:
-            lp, ck, cv, xk, xk_s, xv, xv_s = xs
-        else:
-            lp, ck, cv, xk, xv = xs
-            xk_s = xv_s = None
-        T = ck.shape[1]
-        S = xk.shape[1]
-        sa, ca, mlp = lp["self_attn"], lp["cross_attn"], lp["mlp"]
-        ckd = ck.reshape(B, T, d)
-        cvd = cv.reshape(B, T, d)
+    sa, ca, mlp = lay["self_attn"], lay["cross_attn"], lay["mlp"]
+    wq_, sq_ = wpart(sa["q"])
+    wk_, sk_ = wpart(sa["k"])
+    wv_, sv_ = wpart(sa["v"])
+    wo_, so_ = wpart(sa["o"])
+    cq_, csq_ = wpart(ca["q"])
+    co_, cso_ = wpart(ca["o"])
+    w1_, s1_ = wpart(mlp["fc1"])
+    w2_, s2_ = wpart(mlp["fc2"])
+    zero = jnp.zeros((), pos.dtype)
 
-        wq_, sq_ = wpart(sa["q"])
-        wk_, sk_ = wpart(sa["k"])
-        wv_, sv_ = wpart(sa["v"])
+    def body(carry, l):
+        x, ck, cv = carry
         q, k_new, v_new = DF.fused_qkv(
-            x, lp["ln1"]["scale"], lp["ln1"]["bias"],
+            x, lay["ln1"]["scale"], lay["ln1"]["bias"],
             wq_, sa["q"]["b"], wk_, wv_, sa["v"]["b"],
-            wq_scale=sq_, wk_scale=sk_, wv_scale=sv_, kv_dtype=ckd.dtype)
-        zero = jnp.zeros((), pos.dtype)
-        ckd = jax.lax.dynamic_update_slice(ckd, k_new[:, None, :], (zero, pos, zero))
-        cvd = jax.lax.dynamic_update_slice(cvd, v_new[:, None, :], (zero, pos, zero))
-        wo_, so_ = wpart(sa["o"])
-        x = DF.fused_attn(x, ckd, cvd, wo_, sa["o"]["b"],
-                          q=q, pos=pos, wo_scale=so_)
-        cq_, csq_ = wpart(ca["q"])
-        co_, cso_ = wpart(ca["o"])
-        x = DF.fused_attn(x, xk.reshape(B, S, d), xv.reshape(B, S, d),
-                          co_, ca["o"]["b"], s_valid=s_valid,
-                          ln_scale=lp["ln2"]["scale"], ln_bias=lp["ln2"]["bias"],
+            wq_scale=sq_, wk_scale=sk_, wv_scale=sv_,
+            kv_dtype=ck.dtype, layer_idx=l)
+        # in-place on the loop carry: writes only the (l, :, pos, :) row
+        ck = jax.lax.dynamic_update_slice(
+            ck, k_new[None, :, None, :].astype(ck.dtype), (l, zero, pos, zero))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v_new[None, :, None, :].astype(cv.dtype), (l, zero, pos, zero))
+        x = DF.fused_attn(x, ck, cv, wo_, sa["o"]["b"],
+                          q=q, pos=pos, wo_scale=so_, layer_idx=l)
+        x = DF.fused_attn(x, xk, xv, co_, ca["o"]["b"], s_valid=s_valid,
+                          ln_scale=lay["ln2"]["scale"],
+                          ln_bias=lay["ln2"]["bias"],
                           wq=cq_, bq=ca["q"]["b"],
                           k_scale=xk_s, v_scale=xv_s,
-                          wq_scale=csq_, wo_scale=cso_)
-        w1_, s1_ = wpart(mlp["fc1"])
-        w2_, s2_ = wpart(mlp["fc2"])
-        x = DF.fused_mlp(x, lp["ln3"]["scale"], lp["ln3"]["bias"],
+                          wq_scale=csq_, wo_scale=cso_, layer_idx=l)
+        x = DF.fused_mlp(x, lay["ln3"]["scale"], lay["ln3"]["bias"],
                          w1_, mlp["fc1"]["b"], w2_, mlp["fc2"]["b"],
-                         w1_scale=s1_, w2_scale=s2_)
-        hd = d // H
-        return x, (ckd.reshape(B, T, H, hd), cvd.reshape(B, T, H, hd))
+                         w1_scale=s1_, w2_scale=s2_, layer_idx=l)
+        return (x, ck, cv), None
 
-    if kv_quant:
-        xs = (dec["layers"], cache["k"], cache["v"],
-              cross_kv["k_q8"], cross_kv["k_scale_d"],
-              cross_kv["v_q8"], cross_kv["v_scale_d"])
-    else:
-        xs = (dec["layers"], cache["k"], cache["v"],
-              cross_kv["k"], cross_kv["v"])
-    x, (new_k, new_v) = jax.lax.scan(layer, x, xs)
+    (x, ck, cv), _ = jax.lax.scan(body, (x, ck0, cv0),
+                                  jnp.arange(L, dtype=pos.dtype))
 
     x = layer_norm(x, dec["ln_post"])
     logits = jnp.einsum("bd,vd->bv", x, dec["embed"].astype(compute_dtype),
                         preferred_element_type=_pet(compute_dtype))
-    return logits, {"k": new_k, "v": new_v}
+    return logits, {"k": ck, "v": cv}
 
 
 # ---------------------------------------------------------------------------

@@ -1,21 +1,18 @@
 """Fused Pallas kernels for the autoregressive decoder step.
 
-The measured decode bottleneck (ARCHITECTURE.md, round-1 diagnosis) is op
-dispatch: one greedy token-step through a 32-layer large-v3 decoder issues
-~500 tiny XLA fusions (~15 per scanned layer), each paying fixed overhead on
-a (B, 1, d) activation, for 11-15 ms/step at bs 8 — while the unavoidable
-work (streaming ~46 MB of layer weights plus the cross-attention K/V from
-HBM) bounds the step at ~4-5 ms. These kernels rebuild the layer as FOUR
-bandwidth-saturating Pallas calls so the step runs at the HBM floor:
+The round-1 decode diagnosis blamed op dispatch; the round-2 measurement
+found the real structural cost: a `lax.scan` over stacked layer weights
+dynamic-slices every layer's operands out of the (L, ...) arrays, so each
+weight/KV byte is COPIED (read + write) before the compute op reads it —
+a 3× HBM-traffic tax on the ~4 GB a large-v3 greedy step must stream.
+These kernels remove both problems at once:
 
-  1. fused_qkv         ln1 + q/k/v projections (one VMEM-resident matmul set)
-  2. fused_attn        online-softmax attention over the cached self-KV,
-                       streamed in (1, Tc, d) blocks per batch row, fused
-                       with the output projection and residual add
-  3. fused_attn        the same kernel over the precomputed cross K/V
-                       (ln2 + q-projection folded in, int8 KV dequant fused)
-  4. fused_mlp         ln3 + fc1 + GELU + fc2 + residual, weights streamed
-                       in (d, Fc) column blocks
+  - each decoder layer runs as FOUR bandwidth-bound Pallas calls
+    (ln+qkv → cached self-attention+o → cross-attention+o → MLP),
+  - the kernels read their blocks DIRECTLY from the full stacked weight /
+    KV-cache / cross-KV tensors: the layer index is a scalar-prefetch
+    argument consumed by the BlockSpec index_maps, so the layer loop is a
+    `lax.scan` over nothing but the index — zero slice copies.
 
 Head handling without transposes: K/V stay DENSE (T, d = H*hd) and per-head
 score/normalizer bookkeeping goes through a constant 0/1 head-expansion
@@ -25,13 +22,20 @@ columns):   scores (T, HP) = (K * q) @ M       # k·q per head, on the MXU
 so every matmul is a plain 2D contraction with 128-multiple shapes — no
 (B, T, H, hd) relayouts, which is what blocked the round-1 log-mel kernel.
 
+int8 streaming (both opt-in): decoder weights (per-output-channel scales
+applied post-matmul — ops/quant.py layout) and cross-KV (K's per-(batch,
+head) scale folds into q once per row, V's into the accumulator at
+finalize), each halving its share of the per-token HBM traffic.
+
 Capability parity: replaces the per-token work of HF WhisperDecoderLayer
-under `generate` (reference inherits it via custom_seq2seq_trainers.py:
+under `generate` (the reference inherits it via custom_seq2seq_trainers.py:
 235-243 and evaluate_peft.py:370-430); the reference's CUDA analogue is
 torch SDPA + cuBLAS per-op dispatch.
 
 All wrappers take `interpret=` (default: auto — True off-TPU) so the same
 code path is unit-tested on CPU in interpret mode and compiled on TPU.
+Wrappers accept either unstacked per-layer weights (tests) or full stacked
+(L, ...) tensors plus `layer_idx` (the decode loop).
 """
 from __future__ import annotations
 
@@ -47,6 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 HEAD_DIM = 64     # every released Whisper variant uses 64-dim heads
 HP = 128          # padded head columns (lane width); supports up to 128 heads
 NEG = -1e30       # finite -inf: keeps exp()/max() NaN-free in masked blocks
+
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _interpret_default() -> bool:
@@ -86,33 +92,57 @@ def _ln(x, scale, bias, eps=1e-5):
         + bias.astype(jnp.float32)
 
 
-def _row(x):
-    """(d,) param → (1, d) operand (TPU wants ≥2D)."""
-    return x.reshape(1, -1)
+def _norm(a, ndim: int):
+    """Give `a` a leading stacked-layer axis if it doesn't have one, plus a
+    middle singleton for row vectors: every operand ends up (L, ..., d)."""
+    if a.ndim == ndim:
+        return a
+    assert a.ndim == ndim - 1
+    return a[None]
+
+
+def _rows(a):
+    """(L, d) stacked row params → (L, 1, d) so blocks are (1, 1, d)."""
+    return a.reshape(a.shape[0], 1, a.shape[-1])
+
+
+def _scale_rows(s):
+    """int8 weight scales → (L, 1, d): already (L, 1, d) when stacked
+    (ops/quant.py layout), (1, d) or (d,) otherwise."""
+    if s.ndim == 3:
+        return s
+    return s.reshape(1, 1, s.shape[-1])
+
+
+def _idx_arr(layer_idx) -> jax.Array:
+    if layer_idx is None:
+        return jnp.zeros((1,), jnp.int32)
+    return jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
 
 # ---------------------------------------------------------------------------
 # kernel 1: ln + fused q/k/v projection
 # ---------------------------------------------------------------------------
 
-def _qkv_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref, wv_ref,
-                bv_ref, sq_ref, sk_ref, sv_ref, q_ref, k_ref, v_ref,
+def _qkv_kernel(l_ref, x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
+                wv_ref, bv_ref, sq_ref, sk_ref, sv_ref, q_ref, k_ref, v_ref,
                 *, q_scale, w_quant):
-    h = _ln(x_ref[:], lns_ref[:], lnb_ref[:])
+    del l_ref  # consumed by the BlockSpec index_maps
+    h = _ln(x_ref[:], lns_ref[0], lnb_ref[0])
     # int8 weights are cast up to the activation dtype at use (VPU-cheap)
     hw = h.astype(x_ref.dtype if w_quant else wq_ref.dtype)
 
     def proj(w_ref, s_ref):
-        w = w_ref[:].astype(hw.dtype) if w_quant else w_ref[:]
+        w = w_ref[0].astype(hw.dtype) if w_quant else w_ref[0]
         y = jnp.dot(hw, w, preferred_element_type=jnp.float32)
         # per-output-channel int8 scale commutes through the matmul
-        return y * s_ref[:] if w_quant else y
+        return y * s_ref[0] if w_quant else y
 
     q_ref[:] = (proj(wq_ref, sq_ref)
-                + bq_ref[:].astype(jnp.float32)) * q_scale
+                + bq_ref[0].astype(jnp.float32)) * q_scale
     k_ref[:] = proj(wk_ref, sk_ref).astype(k_ref.dtype)
     v_ref[:] = (proj(wv_ref, sv_ref)
-                + bv_ref[:].astype(jnp.float32)).astype(v_ref.dtype)
+                + bv_ref[0].astype(jnp.float32)).astype(v_ref.dtype)
 
 
 def fused_qkv(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
@@ -122,36 +152,56 @@ def fused_qkv(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
               wk_scale: Optional[jax.Array] = None,
               wv_scale: Optional[jax.Array] = None,
               kv_dtype=None,
+              layer_idx=None,
               interpret: Optional[bool] = None
               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """x (B, d) → (q (B, d) fp32 pre-scaled by hd^-0.5, k (B, d), v (B, d)).
 
-    w*_scale (1, d) fp32: present when the weights are streamed as int8
-    (per-output-channel symmetric, ops/quant.py layout); dequantization is
-    the post-matmul column scale, so int8 halves the weight HBM traffic at
-    zero MXU cost."""
+    With layer_idx, weights come STACKED ((L, d, d) / biases (L, d)) and the
+    kernel DMAs layer layer_idx's blocks straight from HBM (no slice copy).
+    w*_scale: int8 per-output-channel dequant scales (ops/quant.py layout).
+    """
     B, d = x.shape
     kv_dtype = kv_dtype or x.dtype
     if interpret is None:
         interpret = _interpret_default()
     w_quant = wq_scale is not None
-    dummy = jnp.zeros((8, 128), jnp.float32)
-    scales = ((wq_scale, wk_scale, wv_scale) if w_quant
-              else (dummy, dummy, dummy))
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    lns = _rows(_norm(ln_scale, 2))
+    lnb = _rows(_norm(ln_bias, 2))
+    wq3, wk3, wv3 = _norm(wq, 3), _norm(wk, 3), _norm(wv, 3)
+    bq3, bv3 = _rows(_norm(bq, 2)), _rows(_norm(bv, 2))
+    dummy = jnp.zeros((1, 8, 128), jnp.float32)
+    if w_quant:
+        scales = tuple(_scale_rows(s) for s in (wq_scale, wk_scale, wv_scale))
+    else:
+        scales = (dummy, dummy, dummy)
+
+    def full(a):
+        shp = (1,) + a.shape[1:]
+        return pl.BlockSpec(shp, lambda i, l: (l[0],) + (0,) * (a.ndim - 1),
+                            memory_space=pltpu.VMEM)
+
+    xspec = pl.BlockSpec((B, d), lambda i, l: (0, 0), memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec(dummy.shape, lambda i, l: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sspecs = [full(s) if w_quant else dspec for s in scales]
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[xspec, full(lns), full(lnb), full(wq3), full(bq3),
+                  full(wk3), full(wv3), full(bv3)] + sspecs,
+        out_specs=(xspec, xspec, xspec),
+    )
     return pl.pallas_call(
         functools.partial(_qkv_kernel, q_scale=HEAD_DIM ** -0.5,
                           w_quant=w_quant),
+        grid_spec=gs,
         out_shape=(jax.ShapeDtypeStruct((B, d), jnp.float32),
                    jax.ShapeDtypeStruct((B, d), kv_dtype),
                    jax.ShapeDtypeStruct((B, d), kv_dtype)),
-        in_specs=[vspec] * 11,
-        out_specs=(vspec, vspec, vspec),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
-    )(x, _row(ln_scale), _row(ln_bias), wq, _row(bq), wk, wv, _row(bv),
-      *scales)
+    )(_idx_arr(layer_idx), x, lns, lnb, wq3, bq3, wk3, wv3, bv3, *scales)
 
 
 # ---------------------------------------------------------------------------
@@ -160,12 +210,13 @@ def fused_qkv(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
 #  computes q in-kernel from ln2(x) and masks the static padded tail)
 # ---------------------------------------------------------------------------
 
-def _attn_kernel(pos_ref, q_ref, xres_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
-                 k_ref, v_ref, ksc_ref, vsc_ref, m_ref, mt_ref,
+def _attn_kernel(l_ref, pos_ref, q_ref, xres_ref, lns_ref, lnb_ref, wq_ref,
+                 bq_ref, k_ref, v_ref, ksc_ref, vsc_ref, m_ref, mt_ref,
                  wo_ref, bo_ref, sq_ref, so_ref, out_ref,
                  q_s, acc_s, m_s, l_s,
                  *, Tc, n_j, s_valid, q_in_kernel, q_scale, quantized,
                  w_quant):
+    del l_ref  # consumed by the BlockSpec index_maps
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -174,13 +225,13 @@ def _attn_kernel(pos_ref, q_ref, xres_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
         l_s[:] = jnp.zeros_like(l_s)
         acc_s[:] = jnp.zeros_like(acc_s)
         if q_in_kernel:
-            h = _ln(xres_ref[0], lns_ref[:], lnb_ref[:])
+            h = _ln(xres_ref[0], lns_ref[0], lnb_ref[0])
             h = h.astype(xres_ref.dtype if w_quant else wq_ref.dtype)
-            wqm = wq_ref[:].astype(h.dtype) if w_quant else wq_ref[:]
+            wqm = wq_ref[0].astype(h.dtype) if w_quant else wq_ref[0]
             q = jnp.dot(h, wqm, preferred_element_type=jnp.float32)
             if w_quant:
-                q = q * sq_ref[:]
-            q = (q + bq_ref[:].astype(jnp.float32)) * q_scale
+                q = q * sq_ref[0]
+            q = (q + bq_ref[0].astype(jnp.float32)) * q_scale
         else:
             q = q_ref[0]
         if quantized:
@@ -188,11 +239,11 @@ def _attn_kernel(pos_ref, q_ref, xres_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
             # (k_q8 ⊙ ksc) · q == k_q8 · (q ⊙ ksc). V's scale folds into the
             # accumulator at finalize. The streamed chunks then pay only the
             # int8→compute cast, not two dequant multiplies.
-            q = q * ksc_ref[0].astype(jnp.float32)
+            q = q * ksc_ref[0, 0].astype(jnp.float32)
         q_s[:] = q
 
-    k = k_ref[0]
-    v = v_ref[0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     if quantized:
         k = k.astype(m_ref.dtype)
         v = v.astype(m_ref.dtype)
@@ -226,14 +277,14 @@ def _attn_kernel(pos_ref, q_ref, xres_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
         l_exp = jnp.dot(l_s[:], mt_ref[:], preferred_element_type=jnp.float32)
         acc = acc_s[:]
         if quantized:
-            acc = acc * vsc_ref[0].astype(jnp.float32)     # V dequant, once
+            acc = acc * vsc_ref[0, 0].astype(jnp.float32)  # V dequant, once
         o_dt = xres_ref.dtype if w_quant else wo_ref.dtype
         o = (acc / l_exp).astype(o_dt)                     # (1, d)
-        wom = wo_ref[:].astype(o_dt) if w_quant else wo_ref[:]
+        wom = wo_ref[0].astype(o_dt) if w_quant else wo_ref[0]
         out = jnp.dot(o, wom, preferred_element_type=jnp.float32)
         if w_quant:
-            out = out * so_ref[:]
-        out = out + bo_ref[:].astype(jnp.float32) + xres_ref[0].astype(jnp.float32)
+            out = out * so_ref[0]
+        out = out + bo_ref[0].astype(jnp.float32) + xres_ref[0].astype(jnp.float32)
         out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -257,21 +308,27 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
                v_scale: Optional[jax.Array] = None,
                wq_scale: Optional[jax.Array] = None,
                wo_scale: Optional[jax.Array] = None,
+               layer_idx=None,
                interpret: Optional[bool] = None) -> jax.Array:
     """Single-query attention over dense KV + output proj + residual.
 
-    x (B, d) residual input; k/v (B, T, d) with T a 128-multiple.
-    Self-attention: pass q (B, d) (from fused_qkv, pre-scaled) and pos —
-    keys at col > pos are masked. Cross-attention: pass ln_scale/ln_bias/
-    wq/bq instead (q computed in-kernel) and s_valid = real source length
-    (the padded tail beyond it is masked).
-    int8 KV: pass k/v as int8 with k_scale/v_scale (B, d) per-(batch, head)
-    dequant scales expanded over d; dequant is fused into the streamed read.
-    int8 weights: pass wq/wo as int8 with wq_scale/wo_scale (1, d)
-    per-output-channel scales (applied post-matmul).
+    x (B, d) residual input; k/v (B, T, d) — or stacked (L, B, T, d) with
+    layer_idx — with T a 128-multiple. Self-attention: pass q (B, d) (from
+    fused_qkv, pre-scaled) and pos — keys at col > pos are masked.
+    Cross-attention: pass ln_scale/ln_bias/wq/bq instead (q computed
+    in-kernel) and s_valid = real source length (the padded tail beyond it
+    is masked).
+    int8 KV: k/v int8 with k_scale/v_scale (B, d) per-(batch, head) dequant
+    scales expanded over d (stacked: (L, B, d)); K's folds into q, V's into
+    the accumulator — the streamed chunks pay only the int8→compute cast.
+    int8 weights: wq/wo int8 with wq_scale/wo_scale (1, d) per-output-
+    channel scales (stacked: (L, 1, d)), applied post-matmul.
     """
+    stacked = layer_idx is not None
+    k4 = _norm(k, 4)
+    v4 = _norm(v, 4)
     B, d = x.shape
-    T = k.shape[1]
+    T = k4.shape[2]
     Tc = _pick_tc(T)
     n_j = T // Tc
     if interpret is None:
@@ -281,63 +338,75 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
     w_quant = wo_scale is not None
     # dtype the dequantized / raw KV is used in inside the kernel
     comp_dtype = ((jnp.float32 if interpret else jnp.bfloat16)
-                  if quantized else k.dtype)
+                  if quantized else k4.dtype)
     m_np, mt_np = _head_matrices(d)
     m_mat = jnp.asarray(m_np, comp_dtype)
     mt_mat = jnp.asarray(mt_np, jnp.float32)
 
-    zero_row = jnp.zeros((1, d), jnp.float32)
+    zero_row = jnp.zeros((1, 1, d), jnp.float32)
     pos_arr = (jnp.zeros((1,), jnp.int32) if pos is None
                else jnp.asarray(pos, jnp.int32).reshape(1))
     q_arr = jnp.zeros((B, d), jnp.float32) if q is None else q
-    lns = zero_row if ln_scale is None else _row(ln_scale)
-    lnb = zero_row if ln_bias is None else _row(ln_bias)
+    lns = zero_row if ln_scale is None else _rows(_norm(ln_scale, 2))
+    lnb = zero_row if ln_bias is None else _rows(_norm(ln_bias, 2))
     # unused operands shrink to a tile so they cost no VMEM/DMA
-    wq_arr = jnp.zeros((8, 128), wo.dtype) if wq is None else wq
-    bq_arr = zero_row if bq is None else _row(bq)
-    ksc = jnp.zeros((B, d), jnp.float32) if k_scale is None else k_scale
-    vsc = jnp.zeros((B, d), jnp.float32) if v_scale is None else v_scale
+    wq3 = jnp.zeros((1, 8, 128), wo.dtype) if wq is None else _norm(wq, 3)
+    bq3 = zero_row if bq is None else _rows(_norm(bq, 2))
+    wo3 = _norm(wo, 3)
+    bo3 = _rows(_norm(bo, 2))
+    dummy = jnp.zeros((1, 8, 128), jnp.float32)
+    if quantized:
+        ksc = _norm(k_scale, 3).reshape(-1, B, 1, d)       # (L, B, 1, d)
+        vsc = _norm(v_scale, 3).reshape(-1, B, 1, d)
+    else:
+        ksc = vsc = jnp.zeros((1, B, 1, 128), jnp.float32)
+    sq3 = _scale_rows(wq_scale) if (w_quant and q_in_kernel) else dummy
+    so3 = _scale_rows(wo_scale) if w_quant else dummy
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    res = pl.BlockSpec((d, d), lambda b, j: (0, 0), memory_space=pltpu.VMEM)
-    wq_spec = pl.BlockSpec(wq_arr.shape, lambda b, j: (0, 0),
-                           memory_space=pltpu.VMEM)
-    # per-batch-row operands carry a middle singleton so the (1, 1, d)
-    # block's last two dims equal the array dims (Mosaic block rule)
-    row_b = pl.BlockSpec((1, 1, d), lambda b, j: (b, 0, 0),
-                         memory_space=pltpu.VMEM)
-    row_1 = pl.BlockSpec((1, d), lambda b, j: (0, 0), memory_space=pltpu.VMEM)
-    kv_blk = pl.BlockSpec((1, Tc, d), lambda b, j: (b, j, 0),
-                          memory_space=pltpu.VMEM)
 
-    dummy = jnp.zeros((8, 128), jnp.float32)
-    sq_arr = wq_scale if (w_quant and q_in_kernel) else dummy
-    so_arr = wo_scale if w_quant else dummy
-    full = lambda a: pl.BlockSpec(a.shape, lambda b, j: (0,) * a.ndim,
-                                  memory_space=pltpu.VMEM)
+    def res(a):
+        """Layer-resident full matrix, e.g. a (1, d, d) block of (L, d, d).
+        Single-layer operands (incl. unstacked dummies) pin index 0 so a
+        stacked call's l can never index out of bounds."""
+        shp = (1,) + a.shape[1:]
+        if a.shape[0] == 1:
+            return pl.BlockSpec(shp, lambda b, j, l: (0,) * a.ndim,
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shp, lambda b, j, l: (l[0],) + (0,) * (a.ndim - 1),
+                            memory_space=pltpu.VMEM)
+
+    row_b = pl.BlockSpec((1, 1, d), lambda b, j, l: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kv_blk = pl.BlockSpec((1, 1, Tc, d), lambda b, j, l: (l[0], b, j, 0),
+                          memory_space=pltpu.VMEM)
+    sc_blk = pl.BlockSpec(
+        (1, 1, 1, ksc.shape[-1]),
+        (lambda b, j, l: (l[0], b, 0, 0)) if ksc.shape[0] > 1
+        else (lambda b, j, l: (0, b, 0, 0)),
+        memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda b, j, l: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _attn_kernel, Tc=Tc, n_j=n_j, s_valid=s_valid,
         q_in_kernel=q_in_kernel, q_scale=HEAD_DIM ** -0.5,
         quantized=quantized, w_quant=w_quant)
-    out = pl.pallas_call(
-        kernel,
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, n_j),
-        out_shape=jax.ShapeDtypeStruct((B, 1, d), x.dtype),
         in_specs=[
             smem,                                            # pos
             row_b,                                           # q
             row_b,                                           # x residual
-            row_1, row_1,                                    # ln scale/bias
-            wq_spec, row_1,                                  # wq, bq
+            res(lns), res(lnb),                              # ln scale/bias
+            res(wq3), res(bq3),                              # wq, bq
             kv_blk, kv_blk,                                  # k, v
-            row_b, row_b,                                    # k/v dequant scales
-            pl.BlockSpec((d, HP), lambda b, j: (0, 0),
-                         memory_space=pltpu.VMEM),           # M
-            pl.BlockSpec((HP, d), lambda b, j: (0, 0),
-                         memory_space=pltpu.VMEM),           # Mᵀ
-            res, row_1,                                      # wo, bo
-            full(sq_arr), full(so_arr),                      # int8 w scales
+            sc_blk, sc_blk,                                  # k/v dequant scales
+            const(m_mat), const(mt_mat),                     # M, Mᵀ
+            res(wo3), res(bo3),                              # wo, bo
+            res(sq3) if (w_quant and q_in_kernel) else const(dummy),
+            res(so3) if w_quant else const(dummy),           # int8 w scales
         ],
         out_specs=row_b,
         scratch_shapes=[
@@ -346,12 +415,16 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
             pltpu.VMEM((1, HP), jnp.float32),                # m
             pltpu.VMEM((1, HP), jnp.float32),                # l
         ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((B, 1, d), x.dtype),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
-    )(pos_arr, q_arr[:, None, :], x[:, None, :], lns, lnb, wq_arr, bq_arr,
-      k, v, ksc[:, None, :], vsc[:, None, :], m_mat, mt_mat, wo, _row(bo),
-      sq_arr, so_arr)
+    )(_idx_arr(layer_idx), pos_arr, q_arr[:, None, :], x[:, None, :],
+      lns, lnb, wq3, bq3, k4, v4, ksc, vsc, m_mat, mt_mat, wo3, bo3,
+      sq3, so3)
     return out[:, 0, :]
 
 
@@ -359,22 +432,23 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
 # kernel 4: ln + MLP (fc1 → GELU → fc2) + residual, streamed over ff columns
 # ---------------------------------------------------------------------------
 
-def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                s1_ref, s2_ref, out_ref, h_s, acc_s, *, n_f, w_quant):
+def _mlp_kernel(l_ref, x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, s1_ref, s2_ref, out_ref, h_s, acc_s, *, n_f, w_quant):
+    del l_ref  # consumed by the BlockSpec index_maps
     f = pl.program_id(0)
 
     @pl.when(f == 0)
     def _init():
-        h_s[:] = _ln(x_ref[:], lns_ref[:], lnb_ref[:]).astype(h_s.dtype)
+        h_s[:] = _ln(x_ref[:], lns_ref[0], lnb_ref[0]).astype(h_s.dtype)
         acc_s[:] = jnp.zeros_like(acc_s)
 
-    w1 = w1_ref[:].astype(h_s.dtype) if w_quant else w1_ref[:]
+    w1 = w1_ref[0].astype(h_s.dtype) if w_quant else w1_ref[0]
     t = jnp.dot(h_s[:], w1, preferred_element_type=jnp.float32)
     if w_quant:
-        t = t * s1_ref[:]
-    t = t + b1_ref[:].astype(jnp.float32)
+        t = t * s1_ref[0]
+    t = t + b1_ref[0].astype(jnp.float32)
     g = _gelu_exact(t)                                     # (B, Fc) fp32
-    w2 = w2_ref[:].astype(h_s.dtype) if w_quant else w2_ref[:]
+    w2 = w2_ref[0].astype(h_s.dtype) if w_quant else w2_ref[0]
     acc_s[:] += jnp.dot(g.astype(w2.dtype), w2,
                         preferred_element_type=jnp.float32)
 
@@ -383,8 +457,8 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         out = acc_s[:]
         if w_quant:
             # fc2's per-column scale factors out of the chunk sum
-            out = out * s2_ref[:]
-        out = out + b2_ref[:].astype(jnp.float32) \
+            out = out * s2_ref[0]
+        out = out + b2_ref[0].astype(jnp.float32) \
             + x_ref[:].astype(jnp.float32)
         out_ref[:] = out.astype(out_ref.dtype)
 
@@ -393,48 +467,62 @@ def fused_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
               w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
               w1_scale: Optional[jax.Array] = None,
               w2_scale: Optional[jax.Array] = None,
+              layer_idx=None,
               interpret: Optional[bool] = None) -> jax.Array:
     """x (B, d) → ln → fc1 (d, ff) → exact GELU → fc2 (ff, d) → + x.
 
     w1_scale (1, ff) / w2_scale (1, d): int8 per-output-channel dequant
-    scales (ops/quant.py layout), applied post-matmul."""
+    scales (ops/quant.py layout), applied post-matmul. With layer_idx the
+    weights come stacked ((L, d, ff) etc.)."""
     B, d = x.shape
-    ff = w1.shape[1]
+    w13, w23 = _norm(w1, 3), _norm(w2, 3)
+    ff = w13.shape[2]
     Fc = _pick_tc(ff)
     n_f = ff // Fc
     if interpret is None:
         interpret = _interpret_default()
     w_quant = w1_scale is not None
-    dummy = jnp.zeros((8, 128), jnp.float32)
-    s1 = w1_scale if w_quant else dummy
-    s2 = w2_scale if w_quant else dummy
-    s1_spec = (pl.BlockSpec((1, Fc), lambda f: (0, f),
-                            memory_space=pltpu.VMEM) if w_quant
-               else pl.BlockSpec(dummy.shape, lambda f: (0, 0),
-                                 memory_space=pltpu.VMEM))
-    s2_spec = pl.BlockSpec(s2.shape, lambda f: (0, 0),
-                           memory_space=pltpu.VMEM)
-    res_b = pl.BlockSpec((B, d), lambda f: (0, 0), memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((1, d), lambda f: (0, 0), memory_space=pltpu.VMEM)
-    h_dtype = x.dtype if w_quant else w1.dtype
-    return pl.pallas_call(
-        functools.partial(_mlp_kernel, n_f=n_f, w_quant=w_quant),
+    lns = _rows(_norm(ln_scale, 2))
+    lnb = _rows(_norm(ln_bias, 2))
+    b13 = _rows(_norm(b1, 2))
+    b23 = _rows(_norm(b2, 2))
+    dummy = jnp.zeros((1, 8, 128), jnp.float32)
+    s13 = _scale_rows(w1_scale) if w_quant else dummy
+    s23 = _scale_rows(w2_scale) if w_quant else dummy
+
+    res_b = pl.BlockSpec((B, d), lambda f, l: (0, 0), memory_space=pltpu.VMEM)
+    row = lambda a: pl.BlockSpec((1, 1, a.shape[-1]),
+                                 lambda f, l: (l[0], 0, 0),
+                                 memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec(dummy.shape, lambda f, l: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    h_dtype = x.dtype if w_quant else w13.dtype
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_f,),
-        out_shape=jax.ShapeDtypeStruct((B, d), x.dtype),
         in_specs=[
-            res_b, row, row,
-            pl.BlockSpec((d, Fc), lambda f: (0, f), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fc), lambda f: (0, f), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Fc, d), lambda f: (f, 0), memory_space=pltpu.VMEM),
-            row,
-            s1_spec, s2_spec,
+            res_b, row(lns), row(lnb),
+            pl.BlockSpec((1, d, Fc), lambda f, l: (l[0], 0, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Fc), lambda f, l: (l[0], 0, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fc, d), lambda f, l: (l[0], f, 0),
+                         memory_space=pltpu.VMEM),
+            row(b23),
+            (pl.BlockSpec((1, 1, Fc), lambda f, l: (l[0], 0, f),
+                          memory_space=pltpu.VMEM) if w_quant else dspec),
+            row(s23) if w_quant else dspec,
         ],
         out_specs=res_b,
         scratch_shapes=[
             pltpu.VMEM((B, d), h_dtype),                    # ln(x)
             pltpu.VMEM((B, d), jnp.float32),                # fc2 accumulator
         ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel, n_f=n_f, w_quant=w_quant),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((B, d), x.dtype),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
-    )(x, _row(ln_scale), _row(ln_bias), w1, _row(b1), w2, _row(b2), s1, s2)
+    )(_idx_arr(layer_idx), x, lns, lnb, w13, b13, w23, b23, s13, s23)

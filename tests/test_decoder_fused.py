@@ -154,9 +154,11 @@ def test_decode_step_fused_matches_decode_step(tiny_setup):
     s_real = enc.shape[1]
     s_pad = ((s_real + 127) // 128) * 128
     ckv_pad = {k: jnp.pad(v, [(0, 0), (0, 0), (0, s_pad - s_real),
-                              (0, 0), (0, 0)]) for k, v in ckv.items()}
+                              (0, 0), (0, 0)]).reshape(
+                    v.shape[0], v.shape[1], s_pad, -1)
+               for k, v in ckv.items()}
     cache_x = W.init_cache(cfg, Bt, 128, dtype=jnp.float32)
-    cache_f = W.init_cache(cfg, Bt, 128, dtype=jnp.float32)
+    cache_f = W.init_cache(cfg, Bt, 128, dtype=jnp.float32, dense=True)
 
     rng = np.random.default_rng(3)
     for pos in range(4):
@@ -168,8 +170,9 @@ def test_decode_step_fused_matches_decode_step(tiny_setup):
                                           jnp.float32)
         np.testing.assert_allclose(lf, lx, rtol=2e-4, atol=2e-4,
                                    err_msg=f"pos={pos}")
-    np.testing.assert_allclose(cache_f["k"], cache_x["k"][:, :, :128],
-                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        cache_f["k"], cache_x["k"][:, :, :128].reshape(cache_f["k"].shape),
+        rtol=1e-5, atol=1e-5)
 
 
 def test_greedy_fused_matches_unfused(tiny_setup):
