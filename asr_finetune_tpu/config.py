@@ -95,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--peft", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--load_in_8bit", action=argparse.BooleanOptionalAction, default=False,
                    help="int8-quantize the frozen base (PEFT)")
+    p.add_argument("--int8_matmul", action=argparse.BooleanOptionalAction, default=False,
+                   help="compute frozen-base matmuls in int8 on the MXU "
+                        "(vector-wise W8A8, bitsandbytes-style without "
+                        "outlier decomposition); needs --load_in_8bit")
     p.add_argument("--lora_rank", type=int, default=8)
     p.add_argument("--lora_alpha", type=float, default=16.0)
     p.add_argument("--adalora", action=argparse.BooleanOptionalAction, default=False)

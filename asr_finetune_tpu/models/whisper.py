@@ -170,10 +170,16 @@ def dense(x: jax.Array, p: Params, lora: Optional[Params] = None,
     the frozen PEFT base; XLA fuses the dequant into the matmul operand.
     """
     if "w_q8" in p:
-        w = p["w_q8"].astype(x.dtype) * p["w_scale"].astype(x.dtype)
+        from ..ops import quant as _quant
+        if _quant.int8_compute_enabled():
+            # opt-in W8A8: s8xs8->s32 on the MXU (ops/quant.int8_matmul)
+            y = _quant.int8_matmul(x, p["w_q8"], p["w_scale"])
+        else:
+            w = p["w_q8"].astype(x.dtype) * p["w_scale"].astype(x.dtype)
+            y = x @ w
     else:
         w = p["w"].astype(x.dtype)
-    y = x @ w
+        y = x @ w
     if lora is not None:
         a = lora["a"].astype(x.dtype)
         b = lora["b"].astype(x.dtype)

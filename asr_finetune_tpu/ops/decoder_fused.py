@@ -126,22 +126,24 @@ def _idx_arr(layer_idx) -> jax.Array:
 
 def _qkv_kernel(l_ref, x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
                 wv_ref, bv_ref, sq_ref, sk_ref, sv_ref, q_ref, k_ref, v_ref,
-                *, q_scale, w_quant):
+                *, q_scale, quant):
+    """quant: per-projection (q, k, v) int8 flags — a merged-LoRA int8 base
+    is MIXED (adapted q/v dequantized fp, the rest int8, lora.merge_adapters)."""
     del l_ref  # consumed by the BlockSpec index_maps
     h = _ln(x_ref[:], lns_ref[0], lnb_ref[0])
     # int8 weights are cast up to the activation dtype at use (VPU-cheap)
-    hw = h.astype(x_ref.dtype if w_quant else wq_ref.dtype)
+    hw = h.astype(x_ref.dtype)
 
-    def proj(w_ref, s_ref):
-        w = w_ref[0].astype(hw.dtype) if w_quant else w_ref[0]
+    def proj(w_ref, s_ref, q8):
+        w = w_ref[0].astype(hw.dtype)
         y = jnp.dot(hw, w, preferred_element_type=jnp.float32)
         # per-output-channel int8 scale commutes through the matmul
-        return y * s_ref[0] if w_quant else y
+        return y * s_ref[0] if q8 else y
 
-    q_ref[:] = (proj(wq_ref, sq_ref)
+    q_ref[:] = (proj(wq_ref, sq_ref, quant[0])
                 + bq_ref[0].astype(jnp.float32)) * q_scale
-    k_ref[:] = proj(wk_ref, sk_ref).astype(k_ref.dtype)
-    v_ref[:] = (proj(wv_ref, sv_ref)
+    k_ref[:] = proj(wk_ref, sk_ref, quant[1]).astype(k_ref.dtype)
+    v_ref[:] = (proj(wv_ref, sv_ref, quant[2])
                 + bv_ref[0].astype(jnp.float32)).astype(v_ref.dtype)
 
 
@@ -165,16 +167,14 @@ def fused_qkv(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     kv_dtype = kv_dtype or x.dtype
     if interpret is None:
         interpret = _interpret_default()
-    w_quant = wq_scale is not None
+    quant = (wq_scale is not None, wk_scale is not None, wv_scale is not None)
     lns = _rows(_norm(ln_scale, 2))
     lnb = _rows(_norm(ln_bias, 2))
     wq3, wk3, wv3 = _norm(wq, 3), _norm(wk, 3), _norm(wv, 3)
     bq3, bv3 = _rows(_norm(bq, 2)), _rows(_norm(bv, 2))
     dummy = jnp.zeros((1, 8, 128), jnp.float32)
-    if w_quant:
-        scales = tuple(_scale_rows(s) for s in (wq_scale, wk_scale, wv_scale))
-    else:
-        scales = (dummy, dummy, dummy)
+    scales = tuple(_scale_rows(s) if s is not None else dummy
+                   for s in (wq_scale, wk_scale, wv_scale))
 
     def full(a):
         shp = (1,) + a.shape[1:]
@@ -184,7 +184,7 @@ def fused_qkv(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     xspec = pl.BlockSpec((B, d), lambda i, l: (0, 0), memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec(dummy.shape, lambda i, l: (0, 0, 0),
                          memory_space=pltpu.VMEM)
-    sspecs = [full(s) if w_quant else dspec for s in scales]
+    sspecs = [full(s) if q8 else dspec for s, q8 in zip(scales, quant)]
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -194,7 +194,7 @@ def fused_qkv(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     )
     return pl.pallas_call(
         functools.partial(_qkv_kernel, q_scale=HEAD_DIM ** -0.5,
-                          w_quant=w_quant),
+                          quant=quant),
         grid_spec=gs,
         out_shape=(jax.ShapeDtypeStruct((B, d), jnp.float32),
                    jax.ShapeDtypeStruct((B, d), kv_dtype),
@@ -215,7 +215,7 @@ def _attn_kernel(l_ref, pos_ref, q_ref, xres_ref, lns_ref, lnb_ref, wq_ref,
                  wo_ref, bo_ref, sq_ref, so_ref, out_ref,
                  q_s, acc_s, m_s, l_s,
                  *, Tc, n_j, s_valid, q_in_kernel, q_scale, quantized,
-                 w_quant):
+                 wq_quant, wo_quant):
     del l_ref  # consumed by the BlockSpec index_maps
     j = pl.program_id(1)
 
@@ -226,10 +226,10 @@ def _attn_kernel(l_ref, pos_ref, q_ref, xres_ref, lns_ref, lnb_ref, wq_ref,
         acc_s[:] = jnp.zeros_like(acc_s)
         if q_in_kernel:
             h = _ln(xres_ref[0], lns_ref[0], lnb_ref[0])
-            h = h.astype(xres_ref.dtype if w_quant else wq_ref.dtype)
-            wqm = wq_ref[0].astype(h.dtype) if w_quant else wq_ref[0]
+            h = h.astype(xres_ref.dtype)
+            wqm = wq_ref[0].astype(h.dtype)
             q = jnp.dot(h, wqm, preferred_element_type=jnp.float32)
-            if w_quant:
+            if wq_quant:
                 q = q * sq_ref[0]
             q = (q + bq_ref[0].astype(jnp.float32)) * q_scale
         else:
@@ -278,11 +278,11 @@ def _attn_kernel(l_ref, pos_ref, q_ref, xres_ref, lns_ref, lnb_ref, wq_ref,
         acc = acc_s[:]
         if quantized:
             acc = acc * vsc_ref[0, 0].astype(jnp.float32)  # V dequant, once
-        o_dt = xres_ref.dtype if w_quant else wo_ref.dtype
+        o_dt = xres_ref.dtype
         o = (acc / l_exp).astype(o_dt)                     # (1, d)
-        wom = wo_ref[0].astype(o_dt) if w_quant else wo_ref[0]
+        wom = wo_ref[0].astype(o_dt)
         out = jnp.dot(o, wom, preferred_element_type=jnp.float32)
-        if w_quant:
+        if wo_quant:
             out = out * so_ref[0]
         out = out + bo_ref[0].astype(jnp.float32) + xres_ref[0].astype(jnp.float32)
         out_ref[0] = out.astype(out_ref.dtype)
@@ -335,7 +335,8 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
         interpret = _interpret_default()
     q_in_kernel = q is None
     quantized = k_scale is not None
-    w_quant = wo_scale is not None
+    wq_quant = wq_scale is not None
+    wo_quant = wo_scale is not None
     # dtype the dequantized / raw KV is used in inside the kernel
     comp_dtype = ((jnp.float32 if interpret else jnp.bfloat16)
                   if quantized else k4.dtype)
@@ -360,8 +361,8 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
         vsc = _norm(v_scale, 3).reshape(-1, B, 1, d)
     else:
         ksc = vsc = jnp.zeros((1, B, 1, 128), jnp.float32)
-    sq3 = _scale_rows(wq_scale) if (w_quant and q_in_kernel) else dummy
-    so3 = _scale_rows(wo_scale) if w_quant else dummy
+    sq3 = _scale_rows(wq_scale) if (wq_quant and q_in_kernel) else dummy
+    so3 = _scale_rows(wo_scale) if wo_quant else dummy
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -391,7 +392,7 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
     kernel = functools.partial(
         _attn_kernel, Tc=Tc, n_j=n_j, s_valid=s_valid,
         q_in_kernel=q_in_kernel, q_scale=HEAD_DIM ** -0.5,
-        quantized=quantized, w_quant=w_quant)
+        quantized=quantized, wq_quant=wq_quant, wo_quant=wo_quant)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_j),
@@ -405,8 +406,8 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
             sc_blk, sc_blk,                                  # k/v dequant scales
             const(m_mat), const(mt_mat),                     # M, Mᵀ
             res(wo3), res(bo3),                              # wo, bo
-            res(sq3) if (w_quant and q_in_kernel) else const(dummy),
-            res(so3) if w_quant else const(dummy),           # int8 w scales
+            res(sq3) if (wq_quant and q_in_kernel) else const(dummy),
+            res(so3) if wo_quant else const(dummy),          # int8 w scales
         ],
         out_specs=row_b,
         scratch_shapes=[
@@ -433,7 +434,8 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _mlp_kernel(l_ref, x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                b2_ref, s1_ref, s2_ref, out_ref, h_s, acc_s, *, n_f, w_quant):
+                b2_ref, s1_ref, s2_ref, out_ref, h_s, acc_s, *, n_f,
+                w1_quant, w2_quant):
     del l_ref  # consumed by the BlockSpec index_maps
     f = pl.program_id(0)
 
@@ -442,20 +444,20 @@ def _mlp_kernel(l_ref, x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
         h_s[:] = _ln(x_ref[:], lns_ref[0], lnb_ref[0]).astype(h_s.dtype)
         acc_s[:] = jnp.zeros_like(acc_s)
 
-    w1 = w1_ref[0].astype(h_s.dtype) if w_quant else w1_ref[0]
+    w1 = w1_ref[0].astype(h_s.dtype)
     t = jnp.dot(h_s[:], w1, preferred_element_type=jnp.float32)
-    if w_quant:
+    if w1_quant:
         t = t * s1_ref[0]
     t = t + b1_ref[0].astype(jnp.float32)
     g = _gelu_exact(t)                                     # (B, Fc) fp32
-    w2 = w2_ref[0].astype(h_s.dtype) if w_quant else w2_ref[0]
+    w2 = w2_ref[0].astype(h_s.dtype)
     acc_s[:] += jnp.dot(g.astype(w2.dtype), w2,
                         preferred_element_type=jnp.float32)
 
     @pl.when(f == n_f - 1)
     def _fin():
         out = acc_s[:]
-        if w_quant:
+        if w2_quant:
             # fc2's per-column scale factors out of the chunk sum
             out = out * s2_ref[0]
         out = out + b2_ref[0].astype(jnp.float32) \
@@ -481,14 +483,15 @@ def fused_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     n_f = ff // Fc
     if interpret is None:
         interpret = _interpret_default()
-    w_quant = w1_scale is not None
+    w1_quant = w1_scale is not None
+    w2_quant = w2_scale is not None
     lns = _rows(_norm(ln_scale, 2))
     lnb = _rows(_norm(ln_bias, 2))
     b13 = _rows(_norm(b1, 2))
     b23 = _rows(_norm(b2, 2))
     dummy = jnp.zeros((1, 8, 128), jnp.float32)
-    s13 = _scale_rows(w1_scale) if w_quant else dummy
-    s23 = _scale_rows(w2_scale) if w_quant else dummy
+    s13 = _scale_rows(w1_scale) if w1_quant else dummy
+    s23 = _scale_rows(w2_scale) if w2_quant else dummy
 
     res_b = pl.BlockSpec((B, d), lambda f, l: (0, 0), memory_space=pltpu.VMEM)
     row = lambda a: pl.BlockSpec((1, 1, a.shape[-1]),
@@ -496,7 +499,7 @@ def fused_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                                  memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec(dummy.shape, lambda f, l: (0, 0, 0),
                          memory_space=pltpu.VMEM)
-    h_dtype = x.dtype if w_quant else w13.dtype
+    h_dtype = x.dtype
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_f,),
@@ -510,8 +513,8 @@ def fused_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                          memory_space=pltpu.VMEM),
             row(b23),
             (pl.BlockSpec((1, 1, Fc), lambda f, l: (l[0], 0, f),
-                          memory_space=pltpu.VMEM) if w_quant else dspec),
-            row(s23) if w_quant else dspec,
+                          memory_space=pltpu.VMEM) if w1_quant else dspec),
+            row(s23) if w2_quant else dspec,
         ],
         out_specs=res_b,
         scratch_shapes=[
@@ -520,7 +523,8 @@ def fused_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_mlp_kernel, n_f=n_f, w_quant=w_quant),
+        functools.partial(_mlp_kernel, n_f=n_f, w1_quant=w1_quant,
+                          w2_quant=w2_quant),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((B, d), x.dtype),
         compiler_params=_VMEM_LIMIT,

@@ -97,6 +97,7 @@ def build_model(args, hp: Optional[Dict[str, Any]] = None) -> BuiltModel:
         if args.load_in_8bit:
             from .ops import quant
             params = quant.quantize_tree_int8(params)
+            quant.set_int8_compute(getattr(args, "int8_matmul", False))
         else:
             params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     return BuiltModel(cfg, params, adapters, tokenizer, suppress,

@@ -300,3 +300,50 @@ def test_greedy_w_int8_runs(tiny_setup):
                                compute_dtype=jnp.float32, fused=True,
                                w_int8=True)
     np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_x))
+
+
+def test_decode_step_fused_mixed_int8_merged_adapters(tiny_setup):
+    """--peft --load_in_8bit eval path: merge_adapters dequantizes the
+    adapted q/v projections while the rest of the base stays int8, so the
+    fused kernels must handle PER-WEIGHT quantization flags (regression:
+    round-2 found _scale_rows(None) crashing on exactly this mix)."""
+    from asr_finetune_tpu.ops import quant
+    from asr_finetune_tpu.training import lora as lora_lib
+
+    cfg, params, mel = tiny_setup
+    Bt = mel.shape[0]
+    qparams = dict(params)
+    qparams["decoder"] = dict(params["decoder"])
+    qparams["decoder"]["layers"] = quant.quantize_tree_int8(
+        params["decoder"]["layers"])
+    lcfg = lora_lib.LoraConfig(rank=2, alpha=4.0, dropout=0.0)
+    adapters = lora_lib.init_adapters(jax.random.PRNGKey(7), cfg, lcfg)
+    # make the deltas nonzero so the merge visibly changes q/v
+    adapters = jax.tree.map(
+        lambda a: a + 0.01 if a.ndim == 3 else a, adapters)
+    merged = lora_lib.merge_adapters(qparams, adapters)
+    dl = merged["decoder"]["layers"]
+    assert "w" in dl["self_attn"]["q"], "adapted q should be dequantized fp"
+    assert "w_q8" in dl["self_attn"]["o"], "o should remain int8"
+
+    enc = W.encode(params, mel, cfg, compute_dtype=jnp.float32)
+    ckv = W.precompute_cross_kv(merged, enc, cfg)
+    s_real = enc.shape[1]
+    s_pad = ((s_real + 127) // 128) * 128
+    ckv_pad = {k: jnp.pad(v, [(0, 0), (0, 0), (0, s_pad - s_real),
+                              (0, 0), (0, 0)]).reshape(
+                    v.shape[0], v.shape[1], s_pad, -1)
+               for k, v in ckv.items()}
+    cache_x = W.init_cache(cfg, Bt, 128, dtype=jnp.float32)
+    cache_f = W.init_cache(cfg, Bt, 128, dtype=jnp.float32, dense=True)
+
+    rng = np.random.default_rng(5)
+    for pos in range(3):
+        tok = jnp.asarray(rng.integers(0, cfg.vocab_size, Bt), jnp.int32)
+        lx, cache_x = W.decode_step(merged, tok, jnp.int32(pos), cache_x,
+                                    ckv, cfg, None, jnp.float32)
+        lf, cache_f = W.decode_step_fused(merged, tok, jnp.int32(pos),
+                                          cache_f, ckv_pad, cfg, s_real,
+                                          jnp.float32)
+        np.testing.assert_allclose(lf, lx, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"pos={pos}")
