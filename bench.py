@@ -2,9 +2,13 @@
 
 Matches BASELINE.json's primary metric. One training step = on-device
 log-mel frontend + teacher-forced forward/backward through the frozen
-bf16 base with LoRA adapters on q/v projections + AdamW adapter update —
-the TPU-native equivalent of the reference's PEFT trial hot loop
-(trainers.py:472-722). The reference publishes no numbers (BASELINE.md);
+int8 base (the reference's headline config trains with load_in_8bit=True,
+largev3_jun.config; here W8A8 — s8xs8 on the MXU with vector-wise
+activation scales, bnb-style minus outlier decomposition) with LoRA
+adapters on q/v projections (lora_dropout=0.05 active, trainers.py:527)
++ AdamW adapter update — the TPU-native equivalent of the reference's
+PEFT trial hot loop (trainers.py:472-722). BENCH_INT8=0 keeps the base
+in bf16 with dequant-at-use instead. The reference publishes no numbers (BASELINE.md);
 vs_baseline is measured against an estimated 6 utt/s/A100 for the
 reference's HF-Trainer LoRA path at batch 8 (documented in BASELINE.md —
 "established, not matched").
@@ -33,6 +37,7 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 # fine-tune step with on-device SpecAugment (BASELINE.json config #2 shape;
 # use BENCH_MODEL=small for that config)
 MODE = os.environ.get("BENCH_MODE", "peft")
+INT8 = os.environ.get("BENCH_INT8", "1") != "0"
 
 
 def main():
@@ -58,9 +63,12 @@ def main():
         state = make_train_state(params, tx)
         lcfg = None
     else:
-        # frozen base in bf16 (the reference freezes an int8 base; bf16 keeps
-        # MXU-native matmuls and fits v5e HBM comfortably)
+        # frozen base: int8 W8A8 (reference load_in_8bit parity) by default
         params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        if INT8:
+            from asr_finetune_tpu.ops import quant
+            params = quant.quantize_tree_int8(params)
+            quant.set_int8_compute(True)
         lcfg = lora_lib.LoraConfig(rank=8, alpha=16.0)
         adapters = lora_lib.init_adapters(jax.random.PRNGKey(1), cfg, lcfg)
         tcfg = TrainStepConfig(mode="peft", compute_dtype=jnp.bfloat16,
@@ -92,7 +100,7 @@ def main():
     n_chips = jax.local_device_count()
     utt_per_sec_per_chip = BATCH * STEPS / dt / n_chips
     mode_desc = "full fine-tune + SpecAugment" if MODE == "full" \
-        else "LoRA fine-tune"
+        else ("LoRA fine-tune, int8 W8A8 base" if INT8 else "LoRA fine-tune")
 
     # self-auditing MFU: useful model matmul FLOPs (remat recompute
     # excluded) over the chip's bf16 peak — see utils/flops.py
