@@ -480,11 +480,14 @@ def make_decode_fn(cfg: WhisperConfig, forced_tokens: Sequence[int],
                    no_timestamps_id: Optional[int] = None,
                    kv_int8: bool = False, w_int8: bool = False,
                    out_sharding=None,
-                   fused: Optional[bool] = None):
+                   fused: Optional[bool] = None,
+                   mesh=None):
     """jit-wrapped decode entry used by the trainer's eval and offline eval.
 
     out_sharding: pass a fully-replicated NamedSharding in multi-host runs
-    so every process can read the full token matrix for WER scoring."""
+    so every process can read the full token matrix for WER scoring.
+    mesh: pass the training Mesh to run the fused Pallas decode per-shard
+    on pure-DP multi-chip meshes (see _use_fused_multichip)."""
     kw = dict(suppress_tokens=suppress_tokens,
               begin_suppress_tokens=begin_suppress_tokens,
               timestamp_begin=timestamp_begin,
@@ -498,6 +501,39 @@ def make_decode_fn(cfg: WhisperConfig, forced_tokens: Sequence[int],
         def fn(params, mel, adapters=None):
             return beam_decode(params, mel, cfg, forced_tokens, max_length,
                                num_beams, 1.0, adapters, compute_dtype, **kw)
+
+    if mesh is not None and _use_fused_multichip(mesh, fused):
+        # Pallas calls are not auto-partitionable, so a multi-device jit
+        # would silently fall back to the XLA decode path (2.2x slower,
+        # ARCHITECTURE.md). shard_map over the data axis runs the fused
+        # kernels per-shard: params replicated, batch sharded, decode has
+        # no cross-batch communication. Pure-DP meshes only (a
+        # model-parallel mesh keeps the auto-sharded XLA path).
+        from jax.sharding import PartitionSpec as P
+        kw["fused"] = True
+        body = jax.shard_map(fn, mesh=mesh,
+                             in_specs=(P(), P("data"), P()),
+                             out_specs=(P("data"), P("data")),
+                             check_vma=False)
+        def fn(params, mel, adapters=None):  # noqa: F811
+            return body(params, mel, adapters)
+
     if out_sharding is not None:
         return jax.jit(fn, out_shardings=out_sharding)
     return jax.jit(fn)
+
+
+def _use_fused_multichip(mesh, fused: Optional[bool]) -> bool:
+    """True when the fused Pallas decode should run per-shard under
+    shard_map: >1 device on the data axis, no model parallelism (the
+    kernels are single-device; TP-sharded params would be gathered), and
+    fused not explicitly disabled. Off-TPU this needs fused=True forced
+    (CPU-mesh tests run the kernels in interpret mode)."""
+    if fused is False:
+        return False
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if axes.get("data", 1) <= 1 or axes.get("model", 1) != 1:
+        return False
+    if fused is True:
+        return True
+    return jax.default_backend() == "tpu"

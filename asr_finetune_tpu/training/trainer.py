@@ -127,7 +127,9 @@ class Trainer:
             timestamp_begin=(sp.timestamp_begin if cfg.return_timestamps
                              else None),
             no_timestamps_id=sp.no_timestamps,
-            out_sharding=decode_out)
+            out_sharding=decode_out,
+            mesh=(eval_batch_sharding.mesh
+                  if eval_batch_sharding is not None else None))
         self.last_eval_metrics: Dict[str, float] = {}
 
     # ------------------------------------------------------------------ eval

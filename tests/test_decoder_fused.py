@@ -347,3 +347,28 @@ def test_decode_step_fused_mixed_int8_merged_adapters(tiny_setup):
                                           jnp.float32)
         np.testing.assert_allclose(lf, lx, rtol=2e-4, atol=2e-4,
                                    err_msg=f"pos={pos}")
+
+
+def test_fused_decode_multichip_shard_map(tiny_setup):
+    """Pure-DP multi-chip fused decode: make_decode_fn(mesh=...) runs the
+    Pallas kernels per-shard under shard_map (batch over 'data'), matching
+    the single-device XLA decode token-for-token. On the CPU suite the
+    kernels run in interpret mode inside the shard_map body."""
+    from asr_finetune_tpu.evaluation import decode as Dec
+    from jax.sharding import Mesh
+
+    cfg, params, mel = tiny_setup        # B = 2
+    forced = [cfg.sot_token_id, cfg.transcribe_token_id,
+              cfg.no_timestamps_token_id]
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = Mesh(np.array(devs[:2]), ("data",))
+
+    fn = Dec.make_decode_fn(cfg, forced, max_length=16, num_beams=1,
+                            compute_dtype=jnp.float32, fused=True, mesh=mesh)
+    t_mc, l_mc = fn(params, mel)
+    t_ref, l_ref = Dec.greedy_decode(params, mel, cfg, forced, max_length=16,
+                                     compute_dtype=jnp.float32, fused=False)
+    np.testing.assert_array_equal(np.asarray(t_mc), np.asarray(t_ref))
+    np.testing.assert_array_equal(np.asarray(l_mc), np.asarray(l_ref))
