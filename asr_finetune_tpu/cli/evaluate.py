@@ -98,6 +98,8 @@ def main(argv=None):
                       suppress_tokens=built.suppress_tokens,
                       begin_suppress_tokens=built.begin_suppress_tokens,
                       return_timestamps=args.return_timestamps,
+                      decode_kv_int8=getattr(args, "decode_kv_int8", False),
+                      decode_w_int8=getattr(args, "decode_w_int8", False),
                       batch_size=B, output_dir=ens.eval_output_dir,
                       compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     ev = OfflineEvaluator(built.cfg, params, built.tokenizer, ecfg, adapters)

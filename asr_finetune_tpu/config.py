@@ -95,6 +95,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--peft", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--load_in_8bit", action=argparse.BooleanOptionalAction, default=False,
                    help="int8-quantize the frozen base (PEFT)")
+    p.add_argument("--decode_kv_int8", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="stream int8 cross-attention K/V during WER decode "
+                        "(halves the dominant per-token HBM read; enables "
+                        "larger eval batches)")
+    p.add_argument("--decode_w_int8", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="stream int8 decoder weights during WER decode")
     p.add_argument("--int8_matmul", action=argparse.BooleanOptionalAction, default=False,
                    help="compute frozen-base matmuls in int8 on the MXU "
                         "(vector-wise W8A8, bitsandbytes-style without "

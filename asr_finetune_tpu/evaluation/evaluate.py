@@ -43,6 +43,8 @@ class EvalConfig:
     begin_suppress_tokens: Optional[list] = None
     batch_size: int = 8
     checkpoint_every: int = 100   # batches, reference evaluate_peft.py:391-418
+    decode_kv_int8: bool = False  # int8 cross-KV during decode
+    decode_w_int8: bool = False   # int8 decoder weights during decode
     output_dir: str = "./eval_out"
     compute_dtype: Any = jnp.bfloat16
 
@@ -67,7 +69,8 @@ class OfflineEvaluator:
             begin_suppress_tokens=cfg.begin_suppress_tokens,
             timestamp_begin=(sp.timestamp_begin if cfg.return_timestamps
                              else None),
-            no_timestamps_id=sp.no_timestamps)
+            no_timestamps_id=sp.no_timestamps,
+            kv_int8=cfg.decode_kv_int8, w_int8=cfg.decode_w_int8)
         os.makedirs(cfg.output_dir, exist_ok=True)
         self._ckpt_path = os.path.join(cfg.output_dir, "eval_checkpoint.json")
 

@@ -333,6 +333,8 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
         eval_num_shards=num_shards,
         compute_wer=not args.skip_wer_eval,
         return_timestamps=args.return_timestamps,
+        decode_kv_int8=getattr(args, "decode_kv_int8", False),
+        decode_w_int8=getattr(args, "decode_w_int8", False),
         suppress_tokens=built.suppress_tokens,
         begin_suppress_tokens=built.begin_suppress_tokens,
         output_dir=out_dir,

@@ -59,6 +59,8 @@ class TrainerConfig:
     return_timestamps: bool = False   # reference whisper_models.py:44-48
     suppress_tokens: Optional[List[int]] = None  # whisper generation_config
     begin_suppress_tokens: Optional[List[int]] = None
+    decode_kv_int8: bool = False     # int8 cross-KV during WER decode
+    decode_w_int8: bool = False      # int8 decoder weights during decode
     output_dir: str = "./output"
     seed: int = 42
 
@@ -127,6 +129,7 @@ class Trainer:
             timestamp_begin=(sp.timestamp_begin if cfg.return_timestamps
                              else None),
             no_timestamps_id=sp.no_timestamps,
+            kv_int8=cfg.decode_kv_int8, w_int8=cfg.decode_w_int8,
             out_sharding=decode_out,
             mesh=(eval_batch_sharding.mesh
                   if eval_batch_sharding is not None else None))
