@@ -64,19 +64,39 @@ def _mk(d_model, layers, heads, *, vocab=51865, mels=80, **kw) -> WhisperConfig:
 
 # Official OpenAI Whisper dimensions. large-v3 uses 128 mel bins and adds a
 # <|yue|> language token (vocab 51866, timestamp_begin shifts by one).
+_V3_SPECIALS = dict(translate_token_id=50359, transcribe_token_id=50360,
+                    no_timestamps_token_id=50364, timestamp_begin_id=50365)
+# English-only (.en) checkpoints: GPT-2 vocab + specials, no language/task
+# tokens (HF forces only <|notimestamps|>; see tokenizer.SpecialTokens)
+_EN_SPECIALS = dict(eos_token_id=50256, sot_token_id=50257,
+                    pad_token_id=50256, first_language_token_id=50257,
+                    translate_token_id=50357, transcribe_token_id=50358,
+                    no_timestamps_token_id=50362, timestamp_begin_id=50363)
+
+
+def _mk_en(d_model, layers, heads):
+    return dataclasses.replace(
+        _mk(d_model, layers, heads, vocab=51864), **_EN_SPECIALS)
+
+
 WHISPER_CONFIGS = {
     "tiny": _mk(384, 4, 6),
     "base": _mk(512, 6, 8),
     "small": _mk(768, 12, 12),
     "medium": _mk(1024, 24, 16),
+    "large": _mk(1280, 32, 20),  # v1; same dims as v2
+    "large-v1": _mk(1280, 32, 20),
     "large-v2": _mk(1280, 32, 20),
     "large-v3": dataclasses.replace(
-        _mk(1280, 32, 20, vocab=51866, mels=128),
-        translate_token_id=50359,
-        transcribe_token_id=50360,
-        no_timestamps_token_id=50364,
-        timestamp_begin_id=50365,
-    ),
+        _mk(1280, 32, 20, vocab=51866, mels=128), **_V3_SPECIALS),
+    # large-v3 encoder with a 4-layer decoder (openai/whisper-large-v3-turbo)
+    "large-v3-turbo": dataclasses.replace(
+        _mk(1280, 32, 20, vocab=51866, mels=128), decoder_layers=4,
+        **_V3_SPECIALS),
+    "tiny.en": _mk_en(384, 4, 6),
+    "base.en": _mk_en(512, 6, 8),
+    "small.en": _mk_en(768, 12, 12),
+    "medium.en": _mk_en(1024, 24, 16),
     # miniature config for unit tests (not a released variant); special ids
     # follow the byte-fallback tokenizer layout (models/tokenizer.py)
     "test-nano": dataclasses.replace(

@@ -110,9 +110,16 @@ def _mlp_fmt(sd, prefix_fmt, n):
 
 
 def config_from_hf(hf_config) -> WhisperConfig:
-    """Build a WhisperConfig from an HF WhisperConfig object or dict."""
+    """Build a WhisperConfig from an HF WhisperConfig object or dict.
+
+    The special-token layout follows the vocab size (the dims in
+    config.json identify the family): 51866 = large-v3/turbo (adds
+    <|yue|>, ids shift by one), 51864 = English-only .en (no language/
+    task tokens), 51865 = the multilingual v1/v2/distil layout."""
     get = (lambda k, d=None: getattr(hf_config, k, d)) if not isinstance(hf_config, dict) \
         else (lambda k, d=None: hf_config.get(k, d))
+    from .tokenizer import SpecialTokens
+    sp = SpecialTokens.for_vocab(get("vocab_size"))
     return WhisperConfig(
         vocab_size=get("vocab_size"),
         num_mel_bins=get("num_mel_bins"),
@@ -124,9 +131,14 @@ def config_from_hf(hf_config) -> WhisperConfig:
         d_ff=get("encoder_ffn_dim"),
         max_source_positions=get("max_source_positions", 1500),
         max_target_positions=get("max_target_positions", 448),
-        eos_token_id=get("eos_token_id", 50257),
-        sot_token_id=get("decoder_start_token_id", 50258),
-        pad_token_id=get("pad_token_id", 50257),
+        eos_token_id=get("eos_token_id", sp.eot),
+        sot_token_id=get("decoder_start_token_id", sp.sot),
+        pad_token_id=get("pad_token_id", sp.eot),
+        translate_token_id=sp.translate,
+        transcribe_token_id=sp.transcribe,
+        no_timestamps_token_id=sp.no_timestamps,
+        timestamp_begin_id=sp.timestamp_begin,
+        first_language_token_id=sp.first_language,
     )
 
 

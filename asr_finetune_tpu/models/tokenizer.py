@@ -83,9 +83,15 @@ class SpecialTokens:
         if vocab_size >= 51866:  # large-v3 layout (adds <|yue|>)
             return cls(first_language=50259, n_languages=100, translate=50359,
                        transcribe=50360, no_timestamps=50364, timestamp_begin=50365)
+        if vocab_size == 51864:  # English-only (.en): no language/task tokens
+            return cls(eot=50256, sot=50257, first_language=50257,
+                       n_languages=0, translate=50357, transcribe=50358,
+                       no_timestamps=50362, timestamp_begin=50363)
         return cls()
 
     def language_token(self, language: str) -> int:
+        if self.n_languages == 0:  # English-only layout has no language tokens
+            return self.sot
         # mod keeps compact test layouts (n_languages=2) in range; identity
         # for the real 99/100-language layouts
         return self.first_language + language_index(language) % self.n_languages
@@ -108,8 +114,14 @@ class WhisperTokenizerBase:
         (custom_seq2seq_trainers.py:61-72).
         """
         sp = self.special
-        toks = [sp.sot, sp.language_token(language),
-                sp.transcribe if task == "transcribe" else sp.translate]
+        if sp.n_languages == 0:
+            # English-only (.en) layout: no language/task tokens exist;
+            # HF forces only <|notimestamps|> (generation_config
+            # forced_decoder_ids [(1, 50362)])
+            toks = [sp.sot]
+        else:
+            toks = [sp.sot, sp.language_token(language),
+                    sp.transcribe if task == "transcribe" else sp.translate]
         if not predict_timestamps:
             toks.append(sp.no_timestamps)
         return toks

@@ -87,3 +87,52 @@ def test_bpe_tokenizer_with_synthetic_vocab():
     assert tok.decode(ids) == "hello"
     # "hello" → hell + o  (merges applied by rank)
     assert ids == [vocab["hell"], vocab[b2u[ord("o")]]]
+
+
+def test_special_layouts_by_vocab():
+    """Three released special-token layouts resolve from the vocab size:
+    51865 multilingual, 51866 large-v3 (+<|yue|>, ids shift by one),
+    51864 English-only (.en, no language/task tokens)."""
+    from asr_finetune_tpu.models.tokenizer import SpecialTokens
+    ml = SpecialTokens.for_vocab(51865)
+    assert (ml.sot, ml.no_timestamps, ml.timestamp_begin) == (50258, 50363, 50364)
+    v3 = SpecialTokens.for_vocab(51866)
+    assert (v3.transcribe, v3.no_timestamps, v3.timestamp_begin) == (50360, 50364, 50365)
+    en = SpecialTokens.for_vocab(51864)
+    assert (en.eot, en.sot, en.no_timestamps, en.timestamp_begin) == \
+        (50256, 50257, 50362, 50363)
+    assert en.n_languages == 0
+
+
+def test_en_prefix_tokens_skip_language_and_task():
+    """.en models force only [sot, <|notimestamps|>] (HF generation_config
+    forced_decoder_ids [(1, 50362)])."""
+    from asr_finetune_tpu.models.tokenizer import (ByteFallbackTokenizer,
+                                                   SpecialTokens)
+    tok = ByteFallbackTokenizer(special=SpecialTokens.for_vocab(51864))
+    assert tok.prefix_tokens("en", "transcribe") == [50257, 50362]
+    assert tok.prefix_tokens("en", "transcribe",
+                             predict_timestamps=True) == [50257]
+
+
+def test_model_registry_turbo_and_en_variants():
+    from asr_finetune_tpu.models.configs import get_config
+    turbo = get_config("openai/whisper-large-v3-turbo")
+    assert turbo.decoder_layers == 4 and turbo.encoder_layers == 32
+    assert turbo.vocab_size == 51866 and turbo.num_mel_bins == 128
+    assert turbo.timestamp_begin_id == 50365
+    sm_en = get_config("small.en")
+    assert sm_en.vocab_size == 51864 and sm_en.sot_token_id == 50257
+    assert get_config("large").d_model == 1280
+
+
+def test_config_from_hf_syncs_special_layout():
+    from asr_finetune_tpu.models.convert_hf import config_from_hf
+    base = dict(num_mel_bins=128, d_model=1280, encoder_layers=32,
+                encoder_attention_heads=20, decoder_layers=4,
+                decoder_attention_heads=20, encoder_ffn_dim=5120)
+    v3 = config_from_hf(dict(base, vocab_size=51866))
+    assert v3.no_timestamps_token_id == 50364 and v3.timestamp_begin_id == 50365
+    en = config_from_hf(dict(base, vocab_size=51864))
+    assert en.eos_token_id == 50256 and en.sot_token_id == 50257
+    assert en.timestamp_begin_id == 50363
