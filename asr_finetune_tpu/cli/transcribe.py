@@ -56,7 +56,11 @@ def main(argv=None):
     decode = decode_lib.make_decode_fn(
         built.cfg, forced, args.generation_max_length,
         args.generation_num_beams,
-        jnp.bfloat16 if args.bf16 else jnp.float32)
+        jnp.bfloat16 if args.bf16 else jnp.float32,
+        suppress_tokens=built.suppress_tokens,
+        begin_suppress_tokens=built.begin_suppress_tokens,
+        kv_int8=getattr(args, "decode_kv_int8", False),
+        w_int8=getattr(args, "decode_w_int8", False))
 
     B = args.per_device_eval_batch_size
     results = []
