@@ -97,6 +97,16 @@ WHISPER_CONFIGS = {
     "base.en": _mk_en(512, 6, 8),
     "small.en": _mk_en(768, 12, 12),
     "medium.en": _mk_en(1024, 24, 16),
+    # distil-whisper (HF distil-whisper/distil-*): full encoder, 2-layer
+    # decoder; checkpoints also import via --model_path with dims from
+    # their config.json
+    "distil-large-v2": dataclasses.replace(
+        _mk(1280, 32, 20), decoder_layers=2),
+    "distil-large-v3": dataclasses.replace(
+        _mk(1280, 32, 20, vocab=51866, mels=128), decoder_layers=2,
+        **_V3_SPECIALS),
+    "distil-medium.en": dataclasses.replace(
+        _mk_en(1024, 24, 16), decoder_layers=2),
     # miniature config for unit tests (not a released variant); special ids
     # follow the byte-fallback tokenizer layout (models/tokenizer.py)
     "test-nano": dataclasses.replace(
@@ -108,8 +118,11 @@ WHISPER_CONFIGS = {
 
 
 def get_config(model_type: str) -> WhisperConfig:
-    """Resolve a model type like "openai/whisper-tiny" or "tiny"."""
-    key = model_type.split("whisper-")[-1] if "whisper-" in model_type else model_type
+    """Resolve a model type like "openai/whisper-tiny",
+    "distil-whisper/distil-large-v3", or a bare key like "tiny"."""
+    key = model_type.rsplit("/", 1)[-1]          # drop the HF org prefix
+    if "whisper-" in key:
+        key = key.split("whisper-")[-1]          # openai/whisper-<key>
     if key not in WHISPER_CONFIGS:
         raise ValueError(f"unknown whisper variant {model_type!r}; have {sorted(WHISPER_CONFIGS)}")
     return WHISPER_CONFIGS[key]

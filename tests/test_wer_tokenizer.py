@@ -136,3 +136,11 @@ def test_config_from_hf_syncs_special_layout():
     en = config_from_hf(dict(base, vocab_size=51864))
     assert en.eos_token_id == 50256 and en.sot_token_id == 50257
     assert en.timestamp_begin_id == 50363
+
+
+def test_model_registry_distil_and_org_prefixes():
+    from asr_finetune_tpu.models.configs import get_config
+    d3 = get_config("distil-whisper/distil-large-v3")
+    assert d3.decoder_layers == 2 and d3.encoder_layers == 32
+    assert d3.vocab_size == 51866 and d3.timestamp_begin_id == 50365
+    assert get_config("distil-medium.en").sot_token_id == 50257
