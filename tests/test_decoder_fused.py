@@ -372,3 +372,48 @@ def test_fused_decode_multichip_shard_map(tiny_setup):
                                      compute_dtype=jnp.float32, fused=False)
     np.testing.assert_array_equal(np.asarray(t_mc), np.asarray(t_ref))
     np.testing.assert_array_equal(np.asarray(l_mc), np.asarray(l_ref))
+
+
+def test_use_fused_multichip_mesh_guards():
+    """shard_map fused decode activates only on pure-DP multi-device
+    meshes; model-parallel meshes keep the auto-sharded XLA path (the
+    Pallas kernels are single-device and TP-sharded params would gather)."""
+    from asr_finetune_tpu.evaluation.decode import _use_fused_multichip
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices())
+    if devs.size < 4:
+        pytest.skip("needs >= 4 devices")
+    dp = Mesh(devs[:4], ("data",))
+    assert _use_fused_multichip(dp, True)
+    assert not _use_fused_multichip(dp, False)
+    tp = Mesh(devs[:4].reshape(2, 2), ("data", "model"))
+    assert not _use_fused_multichip(tp, True)
+    one = Mesh(devs[:1], ("data",))
+    assert not _use_fused_multichip(one, True)
+
+
+def test_fused_decode_multichip_with_kv_int8(tiny_setup):
+    """shard_map fused decode composes with int8 cross-KV streaming: the
+    per-shard kernels consume the quantized form and match the XLA path's
+    int8 decode token-for-token."""
+    from asr_finetune_tpu.evaluation import decode as Dec
+    from jax.sharding import Mesh
+
+    cfg, params, mel = tiny_setup
+    forced = [cfg.sot_token_id, cfg.transcribe_token_id,
+              cfg.no_timestamps_token_id]
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = Mesh(np.array(devs[:2]), ("data",))
+
+    fn = Dec.make_decode_fn(cfg, forced, max_length=16, num_beams=1,
+                            compute_dtype=jnp.float32, fused=True,
+                            kv_int8=True, mesh=mesh)
+    t_mc, l_mc = fn(params, mel)
+    t_ref, l_ref = Dec.greedy_decode(params, mel, cfg, forced, max_length=16,
+                                     compute_dtype=jnp.float32, fused=False,
+                                     kv_int8=True)
+    np.testing.assert_array_equal(np.asarray(t_mc), np.asarray(t_ref))
+    np.testing.assert_array_equal(np.asarray(l_mc), np.asarray(l_ref))
