@@ -115,3 +115,28 @@ def test_loss_masking():
     loss_m, n_m = W.cross_entropy(logits, labels_masked)
     assert int(n_all) == 4 and int(n_m) == 2
     assert not np.allclose(float(loss_all), float(loss_m))
+
+
+def test_asymmetric_decoder_depth_forward_and_decode():
+    """turbo/distil-style configs have decoder_layers != encoder_layers;
+    forward and the (fused and XLA) decode paths must use each depth in
+    the right place (large-v3-turbo: 32 enc / 4 dec)."""
+    import dataclasses
+    from asr_finetune_tpu.evaluation import decode as Dec
+    from asr_finetune_tpu.models.configs import get_config
+
+    cfg = dataclasses.replace(get_config("test-nano"),
+                              encoder_layers=3, decoder_layers=1)
+    params = W.init_params(jax.random.PRNGKey(5), cfg)
+    assert params["encoder"]["layers"]["mlp"]["fc1"]["w"].shape[0] == 3
+    assert params["decoder"]["layers"]["mlp"]["fc1"]["w"].shape[0] == 1
+    rng = np.random.default_rng(6)
+    mel = jnp.asarray(rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)).astype(np.float32))
+    forced = [cfg.sot_token_id, cfg.transcribe_token_id,
+              cfg.no_timestamps_token_id]
+    t_x, _ = Dec.greedy_decode(params, mel, cfg, forced, max_length=12,
+                               compute_dtype=jnp.float32, fused=False)
+    t_f, _ = Dec.greedy_decode(params, mel, cfg, forced, max_length=12,
+                               compute_dtype=jnp.float32, fused=True)
+    np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_x))

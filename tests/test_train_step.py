@@ -87,3 +87,47 @@ def test_lr_schedules():
     c = optim.make_lr_schedule(1e-3, 100, "cosine", warmup_ratio=0.1)
     assert abs(float(c(10)) - 1e-3) < 1e-6
     assert float(c(100)) < float(c(50))
+
+
+def test_w8a8_train_step_matches_dequant_structure():
+    """--int8_matmul: the W8A8 step runs, produces a finite loss close to
+    the dequant-path loss (same quantized weights, extra activation
+    rounding only), and updates ONLY the adapters."""
+    from asr_finetune_tpu.ops import quant
+    from asr_finetune_tpu.training import lora as lora_lib
+
+    cfg = get_config("test-nano")
+    tx = optim.make_optimizer(1e-3, max_steps=10)
+    rng = np.random.default_rng(11)
+    audio = jnp.asarray(rng.standard_normal((2, 48000)).astype(np.float32) * 0.1)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size - 20, (2, 8)).astype(np.int32))
+    batch = {"audio": audio, "decoder_input_ids": toks, "labels": toks}
+    lcfg = lora_lib.LoraConfig(rank=2, alpha=4.0, dropout=0.0)
+
+    losses = {}
+    for int8c in (False, True):
+        params = quant.quantize_tree_int8(W.init_params(jax.random.PRNGKey(0), cfg))
+        adapters = lora_lib.init_adapters(jax.random.PRNGKey(1), cfg, lcfg)
+        quant.set_int8_compute(int8c)
+        try:
+            tcfg = TrainStepConfig(mode="peft", compute_dtype=jnp.float32,
+                                   remat=False, on_device_logmel=True,
+                                   n_mels=cfg.num_mel_bins, lora=lcfg,
+                                   max_steps=10)
+            state = make_train_state(params, tx, adapters=adapters)
+            step = jax.jit(make_train_step(cfg, tx, tcfg))
+            state, metrics = step(state, batch)
+            losses[int8c] = float(metrics["loss"])
+            # frozen base untouched; adapters moved
+            np.testing.assert_array_equal(
+                np.asarray(state["params"]["decoder"]["layers"]["self_attn"]["q"]["w_q8"]),
+                np.asarray(params["decoder"]["layers"]["self_attn"]["q"]["w_q8"]))
+            # b (zero-init) gets the first nonzero gradient ((x@A)^T dy);
+            # a's grad is dy@B^T = 0 until b moves
+            b0 = adapters["decoder"]["self_attn"]["q"]["b"]
+            b1 = state["adapters"]["decoder"]["self_attn"]["q"]["b"]
+            assert not np.allclose(np.asarray(b0), np.asarray(b1))
+        finally:
+            quant.set_int8_compute(False)
+    assert np.isfinite(losses[True])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=0.02)
