@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_train_epochs", type=int, default=10)
     p.add_argument("--generation_max_length", type=int, default=225)
     p.add_argument("--generation_num_beams", type=int, default=1)
+    p.add_argument("--length_penalty", type=float, default=1.0,
+                   help="beam-search length penalty (HF GenerationConfig "
+                        "semantics: finished score = logprob-sum / "
+                        "generated_len**penalty)")
     p.add_argument("--save_steps", type=int, default=1000)
     p.add_argument("--eval_steps", type=int, default=1000)
     p.add_argument("--eval_delay", type=int, default=0)
@@ -109,6 +113,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "outlier decomposition); needs --load_in_8bit")
     p.add_argument("--lora_rank", type=int, default=8)
     p.add_argument("--lora_alpha", type=float, default=16.0)
+    p.add_argument("--lora_targets", type=str, default="all",
+                   choices=("all", "decoder"),
+                   help="'all' adapts every q/v projection incl. encoder "
+                        "self-attention (reference PEFT parity: "
+                        "target_modules=['q_proj','v_proj'] suffix-matches "
+                        "the whole model, trainers.py:525); 'decoder' "
+                        "adapts decoder self/cross q,v only")
     p.add_argument("--adalora", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--adalora_target_rank", type=int, default=0,
                    help="0 = rank//2")

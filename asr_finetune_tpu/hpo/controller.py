@@ -157,7 +157,7 @@ def run_experiment(args) -> Dict[str, Any]:
             result = run_lib.run_trial(
                 trial_args, hp=hp, trial_dir=trial_dir, on_evaluate=on_eval,
                 resume_override=bool(rec and args.resume_training),
-                devices=devices if n_slots > 1 else None)
+                devices=devices if n_slots > 1 else None, trial_index=i)
             with lock:
                 state.record(trial_id, status="completed", result=result)
                 if metric in result:
@@ -208,7 +208,7 @@ def _run_pbt(args, state: ExperimentState, space, exp_dir, metric, mode
     seg = args.perturbation_interval
     total = args.max_steps
     while min(p["steps"] for p in population) < total:
-        for p in population:
+        for member_i, p in enumerate(population):
             if p["steps"] >= total:
                 continue
             target = min(p["steps"] + seg, total)
@@ -218,7 +218,7 @@ def _run_pbt(args, state: ExperimentState, space, exp_dir, metric, mode
                 result = run_lib.run_trial(
                     trial_args, hp=p["hp"], trial_dir=trial_dir,
                     max_steps_override=target,
-                    resume_override=p["steps"] > 0)
+                    resume_override=p["steps"] > 0, trial_index=member_i)
                 p["steps"] = target
                 p["metric"] = float(result.get(metric, float("inf")))
                 state.record(p["trial_id"], status="running",

@@ -70,9 +70,12 @@ def init_adapters(rng: jax.Array, model_cfg, cfg: LoraConfig,
                   encoder: bool = False) -> Params:
     """Adapter pytree matching models/whisper.py's expectations.
 
-    By default only decoder self/cross attention q,v are adapted (the
-    reference adapts every q_proj/v_proj in the network; pass encoder=True
-    for that full coverage)."""
+    encoder=True (framework default via --lora_targets all) additionally
+    adapts encoder self-attention q,v — reference PEFT parity: PEFT's
+    target_modules=["q_proj","v_proj"] (trainers.py:525) suffix-matches
+    every attention block in the network, encoder included. encoder=False
+    (--lora_targets decoder) is the lighter decoder-only placement whose
+    encoder backward XLA drops entirely."""
     d = model_cfg.d_model
     keys = jax.random.split(rng, 8)
     out: Params = {"decoder": {

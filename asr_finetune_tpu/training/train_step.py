@@ -50,6 +50,12 @@ class TrainStepConfig:
                                          # never materialize (ops/fused_ce.py)
     max_steps: int = 10000
     lora: Optional[lora_lib.LoraConfig] = None
+    seed: int = 0                        # base of the per-step RNG stream
+                                         # (SpecAugment + LoRA dropout);
+                                         # run.py folds trial identity in so
+                                         # HPO trials draw decorrelated
+                                         # augmentation noise and seed sweeps
+                                         # actually vary
 
 
 def make_train_state(params: Params, tx: optax.GradientTransformation,
@@ -163,7 +169,7 @@ def make_train_step(model_cfg: WhisperConfig, tx: optax.GradientTransformation,
         frozen = state["params"] if peft else None
 
         rank_mask = state.get("rank_mask")
-        rng = jax.random.fold_in(jax.random.PRNGKey(0), state["step"])
+        rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state["step"])
         if cfg.accum_steps > 1:
             grads, metrics = accum_grads(trainable, frozen, batch, rng,
                                          rank_mask)

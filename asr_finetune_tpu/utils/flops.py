@@ -46,17 +46,23 @@ def decoder_flops(cfg, batch: int, label_len: int, frames: int = 3000) -> float:
 
 
 def train_step_flops(cfg, batch: int, label_len: int, mode: str = "peft",
-                     frames: int = 3000) -> float:
+                     frames: int = 3000, encoder_adapted: bool = True) -> float:
     """Useful FLOPs of one training step.
 
     full: fwd + bwd ≈ 3x fwd everywhere.
-    peft (decoder-only adapters): encoder runs forward only (no trainable
-    dependency → XLA drops its backward), decoder pays fwd + dx ≈ 2x.
+    peft with encoder adapters (the default, reference PEFT parity —
+    target_modules=['q_proj','v_proj'] matches the encoder too,
+    trainers.py:525): every layer pays fwd + dx ≈ 2x; adapter dw is
+    negligible (rank ≪ d).
+    peft decoder-only (encoder_adapted=False): the encoder has no trainable
+    dependency, so XLA drops its backward entirely → encoder fwd only.
     """
     enc = encoder_flops(cfg, batch, frames)
     dec = decoder_flops(cfg, batch, label_len, frames)
     if mode == "full":
         return 3.0 * (enc + dec)
+    if encoder_adapted:
+        return 2.0 * (enc + dec)
     return enc + 2.0 * dec
 
 

@@ -38,6 +38,10 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 # use BENCH_MODEL=small for that config)
 MODE = os.environ.get("BENCH_MODE", "peft")
 INT8 = os.environ.get("BENCH_INT8", "1") != "0"
+# BENCH_LORA_TARGETS=all (headline, reference PEFT parity: adapters on every
+# q/v projection incl. encoder self-attention, trainers.py:525) | decoder
+# (lighter decoder-only placement; encoder backward is dropped by XLA)
+LORA_TARGETS = os.environ.get("BENCH_LORA_TARGETS", "all")
 
 
 def main():
@@ -70,7 +74,8 @@ def main():
             params = quant.quantize_tree_int8(params)
             quant.set_int8_compute(True)
         lcfg = lora_lib.LoraConfig(rank=8, alpha=16.0)
-        adapters = lora_lib.init_adapters(jax.random.PRNGKey(1), cfg, lcfg)
+        adapters = lora_lib.init_adapters(jax.random.PRNGKey(1), cfg, lcfg,
+                                          encoder=(LORA_TARGETS == "all"))
         tcfg = TrainStepConfig(mode="peft", compute_dtype=jnp.bfloat16,
                                remat=True, on_device_logmel=True,
                                n_mels=cfg.num_mel_bins, lora=lcfg,
@@ -99,13 +104,18 @@ def main():
 
     n_chips = jax.local_device_count()
     utt_per_sec_per_chip = BATCH * STEPS / dt / n_chips
-    mode_desc = "full fine-tune + SpecAugment" if MODE == "full" \
-        else ("LoRA fine-tune, int8 W8A8 base" if INT8 else "LoRA fine-tune")
+    if MODE == "full":
+        mode_desc = "full fine-tune + SpecAugment"
+    else:
+        targets_desc = "enc+dec q/v" if LORA_TARGETS == "all" else "dec q/v"
+        mode_desc = (f"LoRA [{targets_desc}] fine-tune"
+                     + (", int8 W8A8 base" if INT8 else ""))
 
     # self-auditing MFU: useful model matmul FLOPs (remat recompute
     # excluded) over the chip's bf16 peak — see utils/flops.py
     from asr_finetune_tpu.utils import flops as F
-    step_flops = F.train_step_flops(cfg, BATCH, LABEL_LEN, mode=MODE)
+    step_flops = F.train_step_flops(cfg, BATCH, LABEL_LEN, mode=MODE,
+                                    encoder_adapted=(LORA_TARGETS == "all"))
     step_mfu = F.mfu(step_flops, dt / STEPS, chip="v5e", n_chips=n_chips)
 
     print(json.dumps({
