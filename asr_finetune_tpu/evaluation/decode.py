@@ -26,14 +26,36 @@ from ..models.configs import WhisperConfig
 Params = Dict[str, Any]
 
 
-def _fused_default() -> bool:
+def _fused_head_dim_ok(cfg: "WhisperConfig") -> bool:
+    """The fused kernels hard-assume 64-dim heads (decoder_fused.HEAD_DIM:
+    the head-expansion matrices are built as d//64 blocks). Every released
+    Whisper variant qualifies; custom checkpoints with other head dims must
+    take the XLA path or they'd get silently wrong head grouping."""
+    from ..ops import decoder_fused
+    return cfg.d_model // cfg.decoder_heads == decoder_fused.HEAD_DIM
+
+
+def _fused_default(cfg: "WhisperConfig") -> bool:
     """Use the fused Pallas decode path (ops/decoder_fused.py) by default on
     a single TPU chip; multi-device meshes keep the XLA path (Pallas calls
     are not auto-partitionable). Override with ASR_TPU_FUSED_DECODE=0/1."""
     env = os.environ.get("ASR_TPU_FUSED_DECODE")
     if env is not None:
-        return env.lower() not in ("0", "false", "")
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+        low = env.lower()
+        if low in ("1", "true", "yes", "on"):
+            if not _fused_head_dim_ok(cfg):
+                import warnings
+                warnings.warn(
+                    "ASR_TPU_FUSED_DECODE=1 but model head_dim != 64; "
+                    "falling back to the XLA decode path")
+                return False
+            return True
+        if low in ("0", "false", "no", "off", ""):
+            return False
+        raise ValueError(
+            f"ASR_TPU_FUSED_DECODE={env!r}: use 1/true/yes/on or 0/false/no/off")
+    return (jax.default_backend() == "tpu" and jax.device_count() == 1
+            and _fused_head_dim_ok(cfg))
 
 
 def _round_up(n: int, m: int) -> int:
@@ -47,9 +69,16 @@ def _cast_decoder_weights(params: Params, dtype) -> Params:
     Matches the non-fused numerics: dense() casts w/b to the activation
     dtype at every use."""
     def cast(t):
-        return jax.tree.map(
-            lambda a: a.astype(dtype)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+        # int8 dequant scales (w_scale) stay fp32: the fused kernels apply
+        # them as a post-matmul multiply and ops/quant.py keeps them fp32
+        # deliberately — casting would stack bf16 rounding on the int8 error
+        def leaf(path, a):
+            name = path[-1].key if path and hasattr(path[-1], "key") else ""
+            if name.endswith("_scale"):
+                return a
+            return (a.astype(dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a)
+        return jax.tree_util.tree_map_with_path(leaf, t)
 
     layers = dict(params["decoder"]["layers"])
     for blk in ("self_attn", "cross_attn", "mlp"):
@@ -227,7 +256,12 @@ def greedy_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     no_ts_id = (no_timestamps_id if no_timestamps_id is not None
                 else (timestamp_begin - 1 if with_ts else 0))
     if fused is None:
-        fused = _fused_default()
+        fused = _fused_default(cfg)
+    elif fused and not _fused_head_dim_ok(cfg):
+        raise ValueError(
+            f"fused decode requires 64-dim heads, got "
+            f"{cfg.d_model // cfg.decoder_heads} "
+            f"(d_model={cfg.d_model}, heads={cfg.decoder_heads})")
     if fused and adapters is not None:
         from ..training.lora import merge_adapters
         params = merge_adapters(params, adapters)
@@ -319,10 +353,25 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     """Beam search via flattened (B*num_beams) batch; returns best beam's
     (tokens (B, max_length), lengths (B,)).
 
-    Standard HF-style beam semantics: running beams score by summed logprob;
-    finished beams are frozen and compared with length penalty
-    (score / len**penalty). begin_suppress_tokens, the timestamp grammar and
-    the fused Pallas step behave as in greedy_decode.
+    Token-level parity with HF `generate(num_beams=K)` (transformers 4.5x
+    BeamSearchScorer semantics, the machinery the reference drives through
+    generation_num_beams, custom_seq2seq_trainers.py:235-243):
+
+    - 2K candidates per step; eos candidates within the top K are added to
+      the finished set (beyond rank K they are dropped), and the K running
+      beams are the best K NON-eos candidates — a finishing beam never
+      shrinks the live frontier.
+    - finished score = summed logprob (incl. eos) / generated_len**penalty
+      with generated_len EXCLUDING the forced prompt (HF's
+      `cur_len - decoder_prompt_len`, BeamHypotheses.add).
+    - per-batch done (early_stopping=False heuristic): K finished hyps AND
+      worst kept ≥ best candidate / generated_len**penalty
+      (BeamHypotheses.is_done); the loop stops when every batch is done.
+    - at max length, NOT-done batches fold their running beams into the
+      finished set at the final generated length (BeamSearchScorer.finalize).
+
+    begin_suppress_tokens, the timestamp grammar and the fused Pallas step
+    behave as in greedy_decode.
     """
     B = mel.shape[0]
     K = num_beams
@@ -336,7 +385,12 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     no_ts_id = (no_timestamps_id if no_timestamps_id is not None
                 else (timestamp_begin - 1 if with_ts else 0))
     if fused is None:
-        fused = _fused_default()
+        fused = _fused_default(cfg)
+    elif fused and not _fused_head_dim_ok(cfg):
+        raise ValueError(
+            f"fused decode requires 64-dim heads, got "
+            f"{cfg.d_model // cfg.decoder_heads} "
+            f"(d_model={cfg.d_model}, heads={cfg.decoder_heads})")
     if fused and adapters is not None:
         from ..training.lora import merge_adapters
         params = merge_adapters(params, adapters)
@@ -379,7 +433,7 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
 
     def body(carry):
         (t, tokens, cache, scores, fin_tokens, fin_scores, fin_lens,
-         last_ts) = carry
+         last_ts, done) = carry
         cur = jax.lax.dynamic_index_in_dim(
             tokens.reshape(B * K, max_length), t, axis=1, keepdims=False)
         logits, new_cache = step_fn(cur, t, cache)
@@ -409,11 +463,44 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
             jnp.arange(V)[None, None, :] == forced_tok, 0.0, NEG)
         logp = jnp.where(in_prefix, prefix_mask, logp)
 
+        # HF cur_len at this point is t+1 (positions 0..t are filled);
+        # generated_len excludes the forced prompt. At the first free
+        # position it is 0 → x/0 = -inf for the (begin-suppressed in real
+        # configs) eos-first edge, which keeps that hyp out, matching the
+        # reference setups where begin_suppress_tokens forbids it.
+        gen_len = (t + 1.0 - n_forced) ** length_penalty
+
+        # 2K candidates per step (HF beam_search's top_k(2*num_beams))
         cand = scores[:, :, None] + logp                      # (B, K, V)
         flat = cand.reshape(B, K * V)
-        top_scores, top_idx = jax.lax.top_k(flat, K)          # (B, K)
-        beam_idx = top_idx // V
-        tok_idx = (top_idx % V).astype(jnp.int32)
+        top_scores2, top_idx2 = jax.lax.top_k(flat, 2 * K)    # (B, 2K)
+        beam_idx2 = top_idx2 // V
+        tok_idx2 = (top_idx2 % V).astype(jnp.int32)
+        ended2 = jnp.logical_and(tok_idx2 == eot, ~in_prefix)  # (B, 2K)
+
+        # finished adds: eos candidates at rank < K only (HF skips eos
+        # beyond the top num_beams); frozen once the batch is done
+        rank_ok = (jnp.arange(2 * K) < K)[None, :]
+        fin_add = jnp.logical_and(ended2, rank_ok)
+        fin_add = jnp.logical_and(fin_add, ~done[:, None])
+        cand_fin_scores = jnp.where(fin_add, top_scores2 / gen_len, NEG)
+        cand_fin_tokens = gather_beams(tokens, beam_idx2)     # (B, 2K, T)
+        cand_fin_tokens = jax.lax.dynamic_update_slice(
+            cand_fin_tokens, tok_idx2[:, :, None], (0, 0, t + 1))
+        all_fin_scores = jnp.concatenate([fin_scores, cand_fin_scores], axis=1)
+        all_fin_tokens = jnp.concatenate([fin_tokens, cand_fin_tokens], axis=1)
+        all_fin_lens = jnp.concatenate(
+            [fin_lens, jnp.full((B, 2 * K), t + 2, jnp.int32)], axis=1)
+        keep_scores, keep_idx = jax.lax.top_k(all_fin_scores, K)
+        fin_scores = keep_scores
+        fin_tokens = gather_beams(all_fin_tokens, keep_idx)
+        fin_lens = jnp.take_along_axis(all_fin_lens, keep_idx, axis=1)
+
+        # running frontier: the best K NON-eos candidates of the 2K
+        run_scores2 = jnp.where(ended2, NEG * 2.0, top_scores2)
+        top_scores, run_rank = jax.lax.top_k(run_scores2, K)  # (B, K)
+        beam_idx = jnp.take_along_axis(beam_idx2, run_rank, axis=1)
+        tok_idx = jnp.take_along_axis(tok_idx2, run_rank, axis=1)
 
         tokens = gather_beams(tokens, beam_idx)
         tokens = jax.lax.dynamic_update_slice(
@@ -426,53 +513,47 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
         flat_idx = (jnp.arange(B)[:, None] * K + beam_idx).reshape(-1)
         new_cache = {k: v[:, flat_idx] for k, v in new_cache.items()}
 
-        ended = jnp.logical_and(tok_idx == eot, ~in_prefix)   # (B, K)
-        # fold newly finished beams into the finished set
-        cand_fin_scores = jnp.where(
-            ended, top_scores / ((t + 2.0) ** length_penalty), NEG)
-        all_fin_scores = jnp.concatenate([fin_scores, cand_fin_scores], axis=1)
-        all_fin_tokens = jnp.concatenate([fin_tokens, tokens], axis=1)
-        all_fin_lens = jnp.concatenate(
-            [fin_lens, jnp.full((B, K), t + 2, jnp.int32)], axis=1)
-        keep_scores, keep_idx = jax.lax.top_k(all_fin_scores, K)
-        fin_scores = keep_scores
-        fin_tokens = gather_beams(all_fin_tokens, keep_idx)
-        fin_lens = jnp.take_along_axis(all_fin_lens, keep_idx, axis=1)
+        # per-batch done (BeamHypotheses.is_done, early_stopping=False):
+        # K finished hyps AND the worst kept beats the best candidate's
+        # attainable normalized score at this length
+        n_fin = jnp.sum(fin_scores > NEG / 2, axis=1)
+        attainable = top_scores2[:, 0] / gen_len
+        done = jnp.logical_or(done, jnp.logical_and(
+            n_fin >= K, jnp.min(fin_scores, axis=1) >= attainable))
 
-        scores = jnp.where(ended, NEG, top_scores)
+        scores = top_scores
         return (t + 1, tokens, new_cache, scores, fin_tokens, fin_scores,
-                fin_lens, last_ts)
+                fin_lens, last_ts, done)
 
     def cond(carry):
-        t, tokens, cache, scores, fin_tokens, fin_scores, fin_lens, _ = carry
-        # stop when best running beam can't beat the worst kept finished beam
-        best_running = jnp.max(scores, axis=1) / ((t + 1.0) ** length_penalty)
-        worst_fin = jnp.min(fin_scores, axis=1)
-        improvable = jnp.any(best_running > worst_fin)
-        return jnp.logical_and(t < max_length - 1, improvable)
+        t = carry[0]
+        done = carry[-1]
+        return jnp.logical_and(t < max_length - 1, ~jnp.all(done))
 
     carry = (jnp.int32(0), tokens0, cache, scores0, fin_tokens0, fin_scores0,
-             fin_lens0, jnp.zeros((B, K), jnp.int32))
+             fin_lens0, jnp.zeros((B, K), jnp.int32), jnp.zeros((B,), bool))
     (t, tokens, _, scores, fin_tokens, fin_scores, fin_lens,
-     _) = jax.lax.while_loop(cond, body, carry)
+     _, done) = jax.lax.while_loop(cond, body, carry)
 
-    # if nothing finished (hit max length), fall back to running beams
-    any_fin = jnp.any(fin_scores > NEG / 2, axis=1)
-    run_best = jnp.argmax(scores, axis=1)
-    fin_best = jnp.argmax(fin_scores, axis=1)
-    best = jnp.where(any_fin, fin_best, run_best)
-    out_tokens = jnp.where(any_fin[:, None, None], fin_tokens, tokens)
+    # finalize (BeamSearchScorer.finalize): batches not done at max length
+    # fold their K running beams into the finished set at the final
+    # generated length (no eos; length = t+1 filled positions)
+    final_gen = jnp.maximum(t + 1.0 - n_forced, 1.0) ** length_penalty
+    run_fin_scores = jnp.where(done[:, None], NEG, scores / final_gen)
+    all_scores = jnp.concatenate([fin_scores, run_fin_scores], axis=1)
+    all_tokens = jnp.concatenate([fin_tokens, tokens], axis=1)
+    all_lens = jnp.concatenate(
+        [fin_lens, jnp.full((B, K), t + 1, jnp.int32)], axis=1)
+    best = jnp.argmax(all_scores, axis=1)
     out_tokens = jnp.take_along_axis(
-        out_tokens, best[:, None, None], axis=1)[:, 0]
-    out_lens = jnp.where(
-        any_fin,
-        jnp.take_along_axis(fin_lens, best[:, None], axis=1)[:, 0],
-        jnp.full((B,), max_length, jnp.int32))
+        all_tokens, best[:, None, None], axis=1)[:, 0]
+    out_lens = jnp.take_along_axis(all_lens, best[:, None], axis=1)[:, 0]
     return out_tokens, out_lens
 
 
 def make_decode_fn(cfg: WhisperConfig, forced_tokens: Sequence[int],
                    max_length: int = 225, num_beams: int = 1,
+                   length_penalty: float = 1.0,
                    compute_dtype=jnp.bfloat16,
                    suppress_tokens: Optional[Sequence[int]] = None,
                    begin_suppress_tokens: Optional[Sequence[int]] = None,
@@ -500,9 +581,11 @@ def make_decode_fn(cfg: WhisperConfig, forced_tokens: Sequence[int],
     else:
         def fn(params, mel, adapters=None):
             return beam_decode(params, mel, cfg, forced_tokens, max_length,
-                               num_beams, 1.0, adapters, compute_dtype, **kw)
+                               num_beams, length_penalty, adapters,
+                               compute_dtype, **kw)
 
-    if mesh is not None and _use_fused_multichip(mesh, fused):
+    if mesh is not None and _fused_head_dim_ok(cfg) \
+            and _use_fused_multichip(mesh, fused):
         # Pallas calls are not auto-partitionable, so a multi-device jit
         # would silently fall back to the XLA decode path (2.2x slower,
         # ARCHITECTURE.md). shard_map over the data axis runs the fused

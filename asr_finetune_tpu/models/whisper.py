@@ -189,7 +189,13 @@ def dense(x: jax.Array, p: Params, lora: Optional[Params] = None,
             # hardware RNG (lax.rng_bit_generator) instead of threefry
             # bernoulli: the per-site threefry masks measurably cost 10%
             # of the large-v3 LoRA step (37 ms) on v5e; the uint32
-            # threshold gives P(keep) = 1 - rate to within 2^-32
+            # threshold gives P(keep) = 1 - rate to within 2^-32.
+            # REPRODUCIBILITY: the DEFAULT algorithm's bit stream is
+            # backend-dependent, so dropout masks are deterministic per
+            # backend but not identical across TPU/CPU; the loss/WER
+            # statistics are seed-stable either way. Pin
+            # RandomAlgorithm.RNG_THREE_FRY here if cross-backend
+            # bit-parity ever matters more than the 10% step-time win.
             key4 = jnp.concatenate([dropout_rng, dropout_rng]).astype(jnp.uint32)
             _, bits = jax.lax.rng_bit_generator(key4, x.shape, jnp.uint32)
             thresh = np.uint32(round(dropout_rate * 4294967296.0))
@@ -569,6 +575,12 @@ def decode_step_fused(params: Params, token: jax.Array, pos: jax.Array,
     """
     from ..ops import decoder_fused as DF
 
+    if cfg.d_model // cfg.decoder_heads != DF.HEAD_DIM:
+        raise ValueError(
+            f"decode_step_fused requires {DF.HEAD_DIM}-dim heads (the "
+            f"kernels' head-expansion matrices are d//{DF.HEAD_DIM} "
+            f"blocks); got {cfg.d_model // cfg.decoder_heads}. Use the "
+            "XLA decode path (fused=False) for this model.")
     dec = params["decoder"]
     lay = dec["layers"]
     B = token.shape[0]

@@ -125,8 +125,11 @@ def test_asymmetric_decoder_depth_forward_and_decode():
     from asr_finetune_tpu.evaluation import decode as Dec
     from asr_finetune_tpu.models.configs import get_config
 
+    # single 64-dim head: the fused kernels require head_dim == 64
+    # (ops/decoder_fused.HEAD_DIM; explicit fused=True now raises otherwise)
     cfg = dataclasses.replace(get_config("test-nano"),
-                              encoder_layers=3, decoder_layers=1)
+                              encoder_layers=3, decoder_layers=1,
+                              encoder_heads=1, decoder_heads=1)
     params = W.init_params(jax.random.PRNGKey(5), cfg)
     assert params["encoder"]["layers"]["mlp"]["fc1"]["w"].shape[0] == 3
     assert params["decoder"]["layers"]["mlp"]["fc1"]["w"].shape[0] == 1
