@@ -95,6 +95,7 @@ def main(argv=None):
     ecfg = EvalConfig(language=args.target_language, task=args.task,
                       max_length=args.generation_max_length,
                       num_beams=args.generation_num_beams,
+                      length_penalty=args.length_penalty,
                       suppress_tokens=built.suppress_tokens,
                       begin_suppress_tokens=built.begin_suppress_tokens,
                       return_timestamps=args.return_timestamps,

@@ -38,6 +38,7 @@ class EvalConfig:
     task: str = "transcribe"
     max_length: int = 225
     num_beams: int = 1
+    length_penalty: float = 1.0
     return_timestamps: bool = False
     suppress_tokens: Optional[list] = None
     begin_suppress_tokens: Optional[list] = None
@@ -64,7 +65,8 @@ class OfflineEvaluator:
                                          predict_timestamps=cfg.return_timestamps)
         sp = tokenizer.special
         self._decode = decode_lib.make_decode_fn(
-            model_cfg, forced, cfg.max_length, cfg.num_beams, cfg.compute_dtype,
+            model_cfg, forced, cfg.max_length, cfg.num_beams,
+            cfg.length_penalty, cfg.compute_dtype,
             suppress_tokens=cfg.suppress_tokens,
             begin_suppress_tokens=cfg.begin_suppress_tokens,
             timestamp_begin=(sp.timestamp_begin if cfg.return_timestamps

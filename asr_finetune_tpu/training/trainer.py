@@ -50,6 +50,7 @@ class TrainerConfig:
     wer_weight: float = 0.7          # reference configs/largev3_jun.config
     generation_max_length: int = 225  # reference train_hyper.py:80
     generation_num_beams: int = 1
+    length_penalty: float = 1.0   # HF GenerationConfig.length_penalty
     num_to_keep: int = 2
     language: str = "de"
     task: str = "transcribe"
@@ -123,7 +124,8 @@ class Trainer:
                                        PartitionSpec())
         self._decode = decode_lib.make_decode_fn(
             model_cfg, forced, cfg.generation_max_length,
-            cfg.generation_num_beams, step_cfg.compute_dtype,
+            cfg.generation_num_beams, cfg.length_penalty,
+            step_cfg.compute_dtype,
             suppress_tokens=cfg.suppress_tokens,
             begin_suppress_tokens=cfg.begin_suppress_tokens,
             timestamp_begin=(sp.timestamp_begin if cfg.return_timestamps

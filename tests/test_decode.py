@@ -252,3 +252,98 @@ def test_timestamp_stream_is_grammatical(hf_pair):
                 last = t
             if i >= 2 and seq[i - 1] >= ts_begin and seq[i - 2] >= ts_begin:
                 assert t < ts_begin, (b, seq)           # pair → text
+
+
+def test_beam_matches_hf_generate(hf_pair):
+    """Token-level beam parity vs HF generate(num_beams=4) — VERDICT r2
+    task 4. Exercises the 2K-candidate pool, generated-length normalization
+    and the early_stopping=False done heuristic."""
+    import torch
+
+    hf_model, params, cfg = hf_pair
+    rng = np.random.default_rng(11)
+    mel = rng.standard_normal((3, 300, cfg.num_mel_bins)).astype(np.float32)
+    forced = [3, 7, 9]
+
+    with torch.no_grad():
+        hf_cont = hf_model.generate(
+            input_features=torch.tensor(mel).transpose(1, 2),
+            decoder_input_ids=torch.tensor([forced] * 3),
+            max_length=MAXLEN, do_sample=False, num_beams=4,
+        ).numpy()
+
+    tokens, lengths = D.beam_decode(
+        params, jnp.asarray(mel), cfg, forced, max_length=MAXLEN,
+        num_beams=4, compute_dtype=jnp.float32)
+    tokens = np.asarray(tokens)
+
+    for b in range(3):
+        ours_cont = tokens[b][len(forced):]
+        hf_row = hf_cont[b]
+        n = min(len(hf_row), len(ours_cont))
+        np.testing.assert_array_equal(
+            ours_cont[:n], hf_row[:n],
+            err_msg=f"row {b}: ours {ours_cont[:n]} vs hf {hf_row[:n]}")
+
+
+def test_beam_matches_hf_generate_early_stop(hf_pair):
+    """All beams finish before max_length: generous max_length forces the
+    early_stopping=False done path (every batch done => loop exits early),
+    and the chosen hypothesis must still match HF."""
+    import torch
+
+    hf_model, params, cfg = hf_pair
+    rng = np.random.default_rng(12)
+    mel = rng.standard_normal((2, 300, cfg.num_mel_bins)).astype(np.float32)
+    forced = [3, 7]
+    LONG = 48  # >> typical random-model decode length
+
+    with torch.no_grad():
+        hf_cont = hf_model.generate(
+            input_features=torch.tensor(mel).transpose(1, 2),
+            decoder_input_ids=torch.tensor([forced] * 2),
+            max_length=LONG, do_sample=False, num_beams=3,
+        ).numpy()
+
+    tokens, lengths = D.beam_decode(
+        params, jnp.asarray(mel), cfg, forced, max_length=LONG,
+        num_beams=3, compute_dtype=jnp.float32)
+    tokens = np.asarray(tokens)
+    for b in range(2):
+        ours_cont = tokens[b][len(forced):]
+        hf_row = hf_cont[b]
+        n = min(len(hf_row), len(ours_cont))
+        np.testing.assert_array_equal(
+            ours_cont[:n], hf_row[:n],
+            err_msg=f"row {b}: ours {ours_cont[:n]} vs hf {hf_row[:n]}")
+
+
+def test_beam_length_penalty_matches_hf(hf_pair):
+    """--length_penalty plumbs through and matches HF for penalty != 1."""
+    import torch
+
+    hf_model, params, cfg = hf_pair
+    rng = np.random.default_rng(13)
+    mel = rng.standard_normal((2, 300, cfg.num_mel_bins)).astype(np.float32)
+    forced = [3, 7]
+
+    for pen in (0.6, 2.0):
+        with torch.no_grad():
+            hf_cont = hf_model.generate(
+                input_features=torch.tensor(mel).transpose(1, 2),
+                decoder_input_ids=torch.tensor([forced] * 2),
+                max_length=MAXLEN, do_sample=False, num_beams=4,
+                length_penalty=pen,
+            ).numpy()
+        tokens, _ = D.beam_decode(
+            params, jnp.asarray(mel), cfg, forced, max_length=MAXLEN,
+            num_beams=4, length_penalty=pen, compute_dtype=jnp.float32)
+        tokens = np.asarray(tokens)
+        for b in range(2):
+            ours_cont = tokens[b][len(forced):]
+            hf_row = hf_cont[b]
+            n = min(len(hf_row), len(ours_cont))
+            np.testing.assert_array_equal(
+                ours_cont[:n], hf_row[:n],
+                err_msg=f"pen {pen} row {b}: ours {ours_cont[:n]} "
+                        f"vs hf {hf_row[:n]}")
