@@ -19,6 +19,14 @@ import numpy as np
 from .space import Choice, Domain, LogUniform, RandInt, Uniform, sample_config
 
 
+def _rng_state(rng: np.random.Generator) -> Dict[str, Any]:
+    return rng.bit_generator.state
+
+
+def _set_rng_state(rng: np.random.Generator, state: Dict[str, Any]) -> None:
+    rng.bit_generator.state = state
+
+
 class RandomSearch:
     def __init__(self, space: Dict[str, Domain], seed: int = 0):
         self.space = space
@@ -29,6 +37,15 @@ class RandomSearch:
 
     def observe(self, hp: Dict[str, Any], metric: float) -> None:
         pass
+
+    # exact-resume searcher state (reference: Tuner.restore hands Optuna its
+    # pickled study, train_hyper.py:349-353). RNG state serializes as the
+    # bit-generator's state dict — ints round-trip losslessly through JSON.
+    def state_dict(self) -> Dict[str, Any]:
+        return {"rng": _rng_state(self.rng)}
+
+    def load_state_dict(self, sd: Dict[str, Any]) -> None:
+        _set_rng_state(self.rng, sd["rng"])
 
 
 class TPESearch:
@@ -123,6 +140,15 @@ class TPESearch:
     def observe(self, hp: Dict[str, Any], metric: float) -> None:
         self.history.append(dict(hp))
         self.metrics.append(float(metric))
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {"rng": _rng_state(self.rng),
+                "history": self.history, "metrics": self.metrics}
+
+    def load_state_dict(self, sd: Dict[str, Any]) -> None:
+        _set_rng_state(self.rng, sd["rng"])
+        self.history = [dict(h) for h in sd["history"]]
+        self.metrics = [float(m) for m in sd["metrics"]]
 
 
 def make_searcher(mode: str, space: Dict[str, Domain], seed: int = 0,

@@ -140,3 +140,127 @@ def test_experiment_e2e(tmp_path):
     args.resume_training = True
     summary2 = controller.run_experiment(args)
     assert summary2["best_trial"] == summary["best_trial"]
+
+
+def test_searcher_state_exact_resume():
+    """VERDICT r2 task 8: a restored searcher continues the exact
+    suggestion stream an uninterrupted one would produce (RNG state +
+    observation history round-trip through JSON)."""
+    space = {"x": LogUniform(1e-3, 1e3), "c": Choice([1, 2, 4])}
+    a = TPESearch(space, seed=3)
+    for i in range(8):
+        hp = a.suggest()
+        a.observe(hp, float((i - 4) ** 2))
+    sd = json.loads(json.dumps(a.state_dict()))
+    b = TPESearch(space, seed=999)  # wrong seed: state must fully override
+    b.load_state_dict(sd)
+    uninterrupted = [a.suggest() for _ in range(3)]
+    resumed = [b.suggest() for _ in range(3)]
+    assert uninterrupted == resumed
+
+    r1 = RandomSearch(space, seed=5)
+    r1.suggest()
+    sd = json.loads(json.dumps(r1.state_dict()))
+    r2 = RandomSearch(space, seed=0)
+    r2.load_state_dict(sd)
+    assert r1.suggest() == r2.suggest()
+
+
+def test_pbt_clone_checkpoint_restore(tmp_path):
+    """VERDICT r2 task 5 (mechanics): PBT's exploit path copytrees a donor's
+    Orbax checkpoint dir over the member's and resumes training from it —
+    Orbax must tolerate the copied tree and the member must continue from
+    the donor's step, not from scratch."""
+    import shutil
+
+    from asr_finetune_tpu import config as config_lib
+    from asr_finetune_tpu import run as run_lib
+    from asr_finetune_tpu.data.hdf5 import make_synthetic_dataset
+    from asr_finetune_tpu.training.checkpoint import CheckpointManager
+
+    make_synthetic_dataset(str(tmp_path / "d.h5"), n=24, seed=0,
+                           min_sec=0.3, max_sec=0.6)
+
+    def base_args():
+        return config_lib.parse_args([
+            "--model_type", "test-nano",
+            "--dataset_name", str(tmp_path / "d.h5"),
+            "--output_dir", str(tmp_path / "out"),
+            "--max_steps", "4", "--eval_steps", "2", "--save_steps", "2",
+            "--logging_steps", "2",
+            "--per_device_train_batch_size", "1",
+            "--per_device_eval_batch_size", "2",
+            "--val_split", "0.25",
+            "--generation_max_length", "12",
+            "--skip_wer_eval",
+            "--random_seed", "0",
+        ])
+
+    donor_dir = str(tmp_path / "donor")
+    r1 = run_lib.run_trial(base_args(), hp={"learning_rate": 1e-4},
+                           trial_dir=donor_dir, max_steps_override=2)
+    assert r1["final_step"] == 2
+
+    member_dir = str(tmp_path / "member")
+    os.makedirs(member_dir, exist_ok=True)
+    shutil.copytree(os.path.join(donor_dir, "checkpoints"),
+                    os.path.join(member_dir, "checkpoints"))
+    ck = CheckpointManager(os.path.join(member_dir, "checkpoints"))
+    assert ck.latest_step() == 2  # Orbax reads the copied tree
+    ck.close()
+
+    # the exploited member resumes from the donor's step-2 weights with new
+    # hp and trains on to step 4
+    r2 = run_lib.run_trial(base_args(), hp={"learning_rate": 2e-4},
+                           trial_dir=member_dir, max_steps_override=4,
+                           resume_override=True)
+    assert r2["final_step"] == 4
+    ck = CheckpointManager(os.path.join(member_dir, "checkpoints"))
+    assert ck.latest_step() == 4
+    ck.close()
+
+
+def test_pbt_experiment_e2e(tmp_path):
+    """VERDICT r2 task 5 (e2e): _run_pbt with a 3-member population over 2
+    segments; at least one member exploits (clone recorded), every member
+    reaches max steps, and the summary carries a finite metric."""
+    from asr_finetune_tpu import config as config_lib
+    from asr_finetune_tpu.data.hdf5 import make_synthetic_dataset
+    from asr_finetune_tpu.hpo import controller
+
+    make_synthetic_dataset(str(tmp_path / "d.h5"), n=24, seed=0,
+                           min_sec=0.3, max_sec=0.6)
+    args = config_lib.parse_args([
+        "--model_type", "test-nano",
+        "--dataset_name", str(tmp_path / "d.h5"),
+        "--output_dir", str(tmp_path / "out"),
+        "--storage_path", str(tmp_path / "scratch"),
+        "--output_tag", "pbt",
+        "--num_samples", "3",
+        "--max_steps", "4", "--eval_steps", "2", "--save_steps", "2",
+        "--logging_steps", "2",
+        "--per_device_train_batch_size", "1",
+        "--per_device_eval_batch_size", "2",
+        "--val_split", "0.25",
+        "--generation_max_length", "12",
+        "--hyperparameters", "learning_rate",
+        "--search_schedule_mode", "large_large",
+        "--perturbation_interval", "2",
+        "--burn_in_period", "1",
+        "--skip_wer_eval",
+        "--random_seed", "0",
+    ])
+    summary = controller.run_experiment(args)
+    assert summary["best_trial"] is not None
+    assert np.isfinite(summary["best_result"]["eval_loss_wer"])
+
+    st = json.loads((tmp_path / "scratch" / "pbt" /
+                     "experiment_state.json").read_text())
+    assert len(st["trials"]) == 3
+    assert all(t.get("steps") == 4 for t in st["trials"].values())
+    cloned = [tid for tid, t in st["trials"].items() if t.get("cloned_from")]
+    assert cloned, "no member exploited a donor (expected >=1 clone)"
+    # the clone's donor checkpoints were copied over and training continued
+    for tid in cloned:
+        src = st["trials"][tid]["cloned_from"]
+        assert src in st["trials"] and src != tid
