@@ -70,6 +70,21 @@ class Hdf5AudioReader:
                 logger.warning("dropping bad row %d: %s", idx, e)
         return out
 
+    def read_transcripts(self, indices: Sequence[int]) -> List[str]:
+        """Text-only reads (no audio IO) — multi-host eval reads audio for
+        its local slice only but every process needs all reference texts
+        for WER scoring (run.py eval_batches_fn). Bad rows read as ''."""
+        out = []
+        text_ds = self.file["transcription"]
+        for idx in indices:
+            try:
+                t = text_ds[idx]
+                out.append(t.decode("utf-8") if isinstance(t, bytes) else str(t))
+            except Exception as e:  # noqa: BLE001
+                logger.warning("bad transcript row %d: %s", idx, e)
+                out.append("")
+        return out
+
     def transcript_lengths(self) -> np.ndarray:
         """Per-row transcript char counts — the group_by_length sort key
         (labels dominate padding waste; audio is a fixed 30 s window)."""
