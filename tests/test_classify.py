@@ -2,6 +2,8 @@
 import csv
 import json
 
+import pytest
+
 from asr_finetune_tpu.classify.error_types import (
     DEFAULT_ERROR_TYPES, RuleBasedClassifier, _align, aggregate_error_profile,
     classify_eval_results)
@@ -47,3 +49,61 @@ def test_classify_pipeline_csv(tmp_path):
     # resume: rerun is a no-op (same row count)
     rows2 = classify_eval_results(str(eval_json), str(out_csv), save_every=1)
     assert len(rows2) == len(rows)
+
+
+def test_llm_classifier_hf_pipeline_end_to_end(tmp_path):
+    """VERDICT r2 task 10: drive the HF-pipeline LLMClassifier (the primary
+    analysis mode, reference classify_errors_hf.py:60-140) end-to-end with
+    a tiny local causal LM — prompt -> generate -> JSON parse -> CSV. A
+    random model emits no valid JSON, so every row takes the documented
+    'unparsbar' fallback; what this test pins is that the pipeline path
+    itself is alive (model+tokenizer load, generation, schema, CSV)."""
+    pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    tokenizers = pytest.importorskip("tokenizers")
+    import json as json_lib
+
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import GPT2Config, GPT2LMHeadModel, PreTrainedTokenizerFast
+
+    model_dir = tmp_path / "tiny_lm"
+    model_dir.mkdir()
+
+    # byte-ish vocab: printable chars as word-level tokens
+    vocab = {"[UNK]": 0, "[PAD]": 1, "<|end|>": 2}
+    for ch in (chr(i) for i in range(32, 127)):
+        vocab.setdefault(ch, len(vocab))
+    for ch in "äöüÄÖÜß":
+        vocab.setdefault(ch, len(vocab))
+    tok = Tokenizer(models.WordLevel(vocab=vocab, unk_token="[UNK]"))
+    tok.pre_tokenizer = pre_tokenizers.Split("", "isolated")
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="[UNK]",
+                                   pad_token="[PAD]", eos_token="<|end|>")
+    fast.save_pretrained(str(model_dir))
+
+    import torch
+    torch.manual_seed(0)
+    cfg = GPT2Config(vocab_size=len(vocab), n_positions=512, n_embd=32,
+                     n_layer=1, n_head=2, eos_token_id=2, pad_token_id=1)
+    GPT2LMHeadModel(cfg).save_pretrained(str(model_dir))
+
+    from asr_finetune_tpu.classify.error_types import (
+        DEFAULT_ERROR_TYPES, LLMClassifier, classify_eval_results)
+
+    clf = LLMClassifier(str(model_dir), max_new_tokens=8)
+    out = clf.classify("das ist ein test", "das ist kein test",
+                       DEFAULT_ERROR_TYPES[:2])
+    assert set(out) == {t.name for t in DEFAULT_ERROR_TYPES[:2]}
+    for s in out.values():
+        assert {"p", "N", "warum"} <= set(s)
+
+    # full classify->CSV path with the LLM backend
+    eval_json = tmp_path / "eval_final.json"
+    eval_json.write_text(json_lib.dumps({"results": [
+        {"original": "hallo welt", "predicted": "hallo wald"}]}))
+    out_csv = tmp_path / "errors.csv"
+    rows = classify_eval_results(str(eval_json), str(out_csv),
+                                 model_path=str(model_dir),
+                                 error_types=DEFAULT_ERROR_TYPES[:2])
+    assert len(rows) == 2
+    assert out_csv.exists()
