@@ -130,11 +130,56 @@ def init_params(rng: jax.Array, cfg: WhisperConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 def _ckpt(fn):
-    """Layer rematerialization with matmul outputs saved: recomputing the
-    cheap elementwise/softmax ops but not the dots measured +4% on the
-    large-v3 LoRA step (22.2 vs 21.3 utt/s on v5e) at bs 8."""
+    """Layer rematerialization saving the NAMED activations chosen by
+    `_remat_save_names()` plus the scan carry (layer input).
+
+    Round 2 used dots_with_no_batch_dims_saveable (+4% on the decoder-only
+    LoRA step), but at encoder scale (T=1500, 32 layers) that policy's
+    per-layer dot saves are ~20 GB at bs 8 — and for the W8A8 int8 base it
+    saves the RAW s8xs8->s32 MXU outputs at 4 B/elem (fc1 alone:
+    s32[32,8,1500,5120] = 7.3 GB), which OOMed the 16 GB v5e the moment
+    encoder adapters made the encoder backward real (round-3 parity
+    placement). Named bf16 save points instead give byte-exact control:
+
+    - "blk_mid" (always saved): the residual stream between the half
+      blocks (~1.9 GB whole encoder) — the backward recomputes each half
+      block from its nearest residual.
+    - "enc_qkv"/"enc_mlp_h" (default-saved on top): the encoder's q/k/v
+      projections (the dense-attention VJP's residuals) and fc1 output
+      (the gelu VJP's residual) — +7 GB at large-v3 bs 8, and the
+      backward recomputes NO base matmul at all (only layernorms/gelu on
+      the VPU). Frozen-base PEFT needs no other fwd activations: dx
+      through a frozen projection is dy @ Wᵀ, input-free.
+    - "dec_qkv"/"dec_xkv"/"dec_mlp_h": same for the decoder (cheap at
+      T≤448; ~1 GB).
+
+    Override with ASR_TPU_REMAT_SAVE=mid | enc | enc+dec (default
+    enc+dec, measured fastest with headroom on the 16 GB v5e — see
+    ARCHITECTURE.md round-3 notes)."""
+    import os
+    mode = os.environ.get("ASR_TPU_REMAT_SAVE", "enc+dec")
+    names = ["blk_mid"]
+    if mode in ("enc", "enc+dec"):
+        names += ["enc_qkv", "enc_mlp_h"]
+    if mode == "enc+dec":
+        names += ["dec_qkv", "dec_xkv", "dec_mlp_h"]
     return jax.checkpoint(
-        fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        fn, policy=jax.checkpoint_policies.save_only_these_names(*names))
+
+
+def _mid(x: jax.Array) -> jax.Array:
+    """Tag a residual-stream point as a saved rematerialization boundary."""
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(x, "blk_mid")
+
+
+def _named(x: jax.Array, name: Optional[str]) -> jax.Array:
+    """Optionally tag an activation for the remat policy (free if the
+    active policy doesn't save the name)."""
+    if name is None:
+        return x
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(x, name)
 
 
 def _pet(dtype) -> jnp.dtype:
@@ -235,20 +280,27 @@ def mha(x: jax.Array, kv_src: jax.Array, p: Params, heads: int,
         lora: Optional[Params] = None,
         causal: bool = False, impl: str = "auto",
         lora_dropout: float = 0.0,
-        dropout_rng: Optional[jax.Array] = None) -> jax.Array:
+        dropout_rng: Optional[jax.Array] = None,
+        save_tag: Optional[str] = None) -> jax.Array:
     """Full (non-incremental) multi-head attention.
 
     Dispatches to Pallas flash attention on TPU for long unmasked/causal
     sequences (ops/attention.py), XLA softmax attention otherwise.
+
+    save_tag names the q/k/v projections for the remat policy (_ckpt):
+    they are exactly the attention VJP's residuals, so saving them means
+    the layer backward recomputes no projection matmul.
     """
     lq = lora.get("q") if lora else None
     lv = lora.get("v") if lora else None
     rq = rv = None
     if dropout_rng is not None and lora_dropout > 0.0:
         rq, rv = jax.random.split(dropout_rng)
-    q = _split_heads(dense(x, p["q"], lq, lora_dropout, rq), heads)
-    k = _split_heads(dense(kv_src, p["k"]), heads)
-    v = _split_heads(dense(kv_src, p["v"], lv, lora_dropout, rv), heads)
+    q = _split_heads(_named(dense(x, p["q"], lq, lora_dropout, rq),
+                            save_tag), heads)
+    k = _split_heads(_named(dense(kv_src, p["k"]), save_tag), heads)
+    v = _split_heads(_named(dense(kv_src, p["v"], lv, lora_dropout, rv),
+                            save_tag), heads)
     out = _attention_dispatch(q, k, v, mask, causal=causal, impl=impl)
     return dense(_merge_heads(out), p["o"])
 
@@ -257,8 +309,10 @@ def _gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
-def mlp_block(x: jax.Array, p: Params) -> jax.Array:
-    return dense(_gelu(dense(x, p["fc1"])), p["fc2"])
+def mlp_block(x: jax.Array, p: Params,
+              save_tag: Optional[str] = None) -> jax.Array:
+    # the tagged fc1 output is the gelu VJP's residual (see _ckpt)
+    return dense(_gelu(_named(dense(x, p["fc1"]), save_tag)), p["fc2"])
 
 
 # ---------------------------------------------------------------------------
@@ -299,11 +353,12 @@ def encode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     def layer(x, xs):
         lp, la, rng = xs
         h = layer_norm(x, lp["ln1"])
-        x = x + mha(h, h, lp["attn"], cfg.encoder_heads, lora=la,
-                    impl=attn_impl, lora_dropout=lora_dropout if drop else 0.0,
-                    dropout_rng=rng)
+        x = _mid(x + mha(h, h, lp["attn"], cfg.encoder_heads, lora=la,
+                         impl=attn_impl,
+                         lora_dropout=lora_dropout if drop else 0.0,
+                         dropout_rng=rng, save_tag="enc_qkv"))
         h = layer_norm(x, lp["ln2"])
-        x = x + mlp_block(h, lp["mlp"])
+        x = x + mlp_block(h, lp["mlp"], save_tag="enc_mlp_h")
         return x, None
 
     body = _ckpt(layer) if remat else layer
@@ -353,17 +408,17 @@ def decode_train(params: Params, tokens: jax.Array, enc_out: jax.Array,
         if drop:
             r_sa, r_ca = jax.random.split(rng)
         h = layer_norm(x, lp["ln1"])
-        x = x + mha(h, h, lp["self_attn"], cfg.decoder_heads, lora=sa_l,
-                    causal=True, impl=attn_impl,
-                    lora_dropout=lora_dropout if drop else 0.0,
-                    dropout_rng=r_sa)
+        x = _mid(x + mha(h, h, lp["self_attn"], cfg.decoder_heads, lora=sa_l,
+                         causal=True, impl=attn_impl,
+                         lora_dropout=lora_dropout if drop else 0.0,
+                         dropout_rng=r_sa, save_tag="dec_qkv"))
         h = layer_norm(x, lp["ln2"])
-        x = x + mha(h, enc_out, lp["cross_attn"], cfg.decoder_heads, lora=ca_l,
-                    impl=attn_impl,
-                    lora_dropout=lora_dropout if drop else 0.0,
-                    dropout_rng=r_ca)
+        x = _mid(x + mha(h, enc_out, lp["cross_attn"], cfg.decoder_heads,
+                         lora=ca_l, impl=attn_impl,
+                         lora_dropout=lora_dropout if drop else 0.0,
+                         dropout_rng=r_ca, save_tag="dec_xkv"))
         h = layer_norm(x, lp["ln3"])
-        x = x + mlp_block(h, lp["mlp"])
+        x = x + mlp_block(h, lp["mlp"], save_tag="dec_mlp_h")
         return x, None
 
     body = _ckpt(layer) if remat else layer

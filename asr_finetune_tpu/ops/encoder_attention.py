@@ -1,0 +1,189 @@
+"""Whole-row Pallas attention for Whisper encoder shapes (fwd + fused bwd).
+
+Why not upstream flash attention (jax.experimental.pallas.ops.tpu
+.flash_attention)? Profiling the round-3 parity train step (large-v3, bs 8,
+encoder adapters → real encoder backward) showed the attention stack as the
+single largest cost: per layer 1.66 ms flash fwd + 1.66 ms flash fwd
+RECOMPUTE inside the backward (the upstream VJP needs out+lse residuals,
+which layer remat discards) + 2.4 ms dkv kernel + 1.7 ms dq kernel + 1.2 ms
+of XLA-side f32[B,H,T,block] mask/di broadcasts from its SegmentIds
+plumbing ≈ 8.6 ms/layer, ~28% of the whole 850 ms step.
+
+Whisper's encoder is a FIXED small shape: T = 1500 (padded 1536), head_dim
+64. At that size a full attention ROW fits in VMEM (p tile (1536, 1536) f32
+= 9.4 MB), so streaming/online-softmax machinery is pure overhead:
+
+- fwd: one kernel per (batch·head): s = scale·q@kᵀ with an in-kernel iota
+  mask at s_valid (no SegmentIds arrays, no mask materialization), fp32
+  row softmax, out = p@v. No lse output.
+- bwd: ONE kernel per (batch·head) recomputes p from q,k (cheaper than
+  saving it) and produces dq, dk, dv in a single pass:
+      dp = do@vᵀ, di = rowsum(p⊙dp)  (≡ rowsum(do⊙o) — no o needed),
+      ds = p⊙(dp − di), dq = scale·ds@k, dk = scale·dsᵀ@q, dv = pᵀ@do.
+  Five matmuls, zero residuals beyond (q, k, v, do) — under layer remat
+  the attention fwd never runs twice.
+
+Numerics: matmul accumulation fp32 (preferred_element_type), softmax fp32,
+p cast to the input dtype for the p@v / pᵀ@do MXU matmuls — matching the
+upstream flash kernel's precision contract and xla_attention's fp32
+softmax.
+
+Measured (v5e, B=8 H=20 T=1536 hd=64, bf16): see tests/benchmarks; wired
+into ops/attention.attention as the default for long non-causal
+self/cross-attention (the Whisper encoder + teacher-forced cross-attn).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30  # finite -inf keeps masked-row softmax NaN-free
+
+# whole-row (1536, 1536) f32 tiles exceed Mosaic's default 16 MB scoped
+# vmem; the bwd kernel's live set is ~35 MB (p, dp, ds + operands)
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, s_valid, Tk):
+    q = q_ref[0]                                           # (Tq, hd)
+    k = k_ref[0]                                           # (Tk, hd)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if s_valid < Tk:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < s_valid, s, NEG)
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)
+    o_ref[0] = jax.lax.dot(p.astype(v_ref.dtype), v_ref[0],
+                           preferred_element_type=jnp.float32
+                           ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                *, scale, s_valid, Tk):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if s_valid < Tk:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < s_valid, s, NEG)
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)          # (Tq, Tk) f32
+
+    pc = p.astype(do.dtype)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    di = jnp.sum(p * dp, axis=1, keepdims=True)        # rowsum(do·o)
+    ds = (p * (dp - di)).astype(q.dtype)               # (Tq, Tk)
+    dq_ref[0] = (jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+                 * scale).astype(dq_ref.dtype)
+    dk_ref[0] = (jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        pc, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
+def _specs(n: int, T: int, hd: int):
+    return [pl.BlockSpec((1, T, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM) for _ in range(n)]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    s_valid: int, interpret: Optional[bool] = None
+                    ) -> jax.Array:
+    """Attention over (BH, T, hd) with keys masked at col >= s_valid."""
+    out, _ = _fwd(q, k, v, s_valid, interpret)
+    return out
+
+
+def _fwd(q, k, v, s_valid, interpret):
+    if interpret is None:
+        interpret = _interpret_default()
+    BH, Tq, hd = q.shape
+    Tk = k.shape[1]
+    scale = hd ** -0.5
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, s_valid=s_valid, Tk=Tk),
+        out_shape=jax.ShapeDtypeStruct((BH, Tq, hd), q.dtype),
+        grid=(BH,),
+        in_specs=_specs(1, Tq, hd) + _specs(2, Tk, hd),
+        out_specs=_specs(1, Tq, hd)[0],
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * BH * Tq * Tk * hd,
+            bytes_accessed=BH * (2 * Tq + 2 * Tk) * hd * q.dtype.itemsize,
+            transcendentals=BH * Tq * Tk),
+    )(q, k, v)
+    return out, (q, k, v)
+
+
+def _bwd(s_valid, interpret, res, do):
+    q, k, v = res
+    if interpret is None:
+        interpret = _interpret_default()
+    BH, Tq, hd = q.shape
+    Tk = k.shape[1]
+    scale = hd ** -0.5
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, s_valid=s_valid, Tk=Tk),
+        out_shape=(jax.ShapeDtypeStruct((BH, Tq, hd), q.dtype),
+                   jax.ShapeDtypeStruct((BH, Tk, hd), k.dtype),
+                   jax.ShapeDtypeStruct((BH, Tk, hd), v.dtype)),
+        grid=(BH,),
+        in_specs=_specs(2, Tq, hd)[:1] + _specs(2, Tk, hd)
+        + _specs(1, Tq, hd),
+        out_specs=tuple(_specs(1, Tq, hd)[:1] + _specs(2, Tk, hd)),
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * BH * Tq * Tk * hd,
+            bytes_accessed=BH * (3 * Tq + 4 * Tk) * hd * q.dtype.itemsize,
+            transcendentals=BH * Tq * Tk),
+    )(q, k, v, do)
+    return dq, dk, dv
+
+
+dense_attention.defvjp(_fwd, _bwd)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                      interpret: Optional[bool] = None) -> jax.Array:
+    """(B, Tq, H, hd) non-causal attention; Tk zero-padded to a lane
+    multiple with in-kernel masking. Drop-in for ops/attention.attention
+    on the encoder/cross shapes."""
+    B, Tq, H, hd = q.shape
+    Tk = k.shape[1]
+    Tq_p, Tk_p = _round_up(Tq, 128), _round_up(Tk, 128)
+
+    def prep(x, T_p):
+        if x.shape[1] != T_p:
+            x = jnp.pad(x, ((0, 0), (0, T_p - x.shape[1]), (0, 0), (0, 0)))
+        return x.transpose(0, 2, 1, 3).reshape(B * H, T_p, hd)
+
+    out = dense_attention(prep(q, Tq_p), prep(k, Tk_p), prep(v, Tk_p),
+                          Tk, interpret)
+    out = out.reshape(B, H, Tq_p, hd).transpose(0, 2, 1, 3)
+    return out[:, :Tq]

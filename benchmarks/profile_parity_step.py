@@ -1,0 +1,132 @@
+"""Decompose the parity-config train step (large-v3, LoRA enc+dec q/v,
+int8 W8A8 base, bs 8): time each stage's fwd+bwd in isolation to find the
+cost centers. Not part of the test suite — a measurement tool.
+
+Usage: python benchmarks/profile_parity_step.py [--int8 0]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(out):
+    # block_until_ready alone does not flush the axon remote-execution
+    # tunnel (see bench.py); a host transfer does — but keep it to ONE
+    # SCALAR (an on-device reduce first), or the fetch itself dominates
+    # (decoder logits are 160 MB: a whole-leaf np.asarray costs ~2.5 s
+    # of tunnel bandwidth and swamps the measurement)
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def timeit(fn, *args, n=5, warmup=2):
+    for _ in range(warmup):
+        _sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / n * 1000  # ms
+
+
+def main():
+    from asr_finetune_tpu.models import whisper as W
+    from asr_finetune_tpu.models.configs import get_config
+    from asr_finetune_tpu.ops import logmel
+    from asr_finetune_tpu.training import lora as lora_lib
+
+    int8 = "--int8" not in sys.argv or sys.argv[sys.argv.index("--int8") + 1] != "0"
+    B, L = 8, 192
+    cfg = get_config(os.environ.get("BENCH_MODEL", "large-v3"))
+    rng = jax.random.PRNGKey(0)
+    params = W.init_params(rng, cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    if int8:
+        from asr_finetune_tpu.ops import quant
+        params = quant.quantize_tree_int8(params)
+        quant.set_int8_compute(True)
+    lcfg = lora_lib.LoraConfig(rank=8, alpha=16.0)
+    adapters = lora_lib.init_adapters(jax.random.PRNGKey(1), cfg, lcfg,
+                                      encoder=True)
+
+    host = np.random.default_rng(0)
+    audio = jnp.asarray(host.standard_normal(
+        (B, logmel.CHUNK_SAMPLES)).astype(np.float32) * 0.1)
+    toks = jnp.asarray(host.integers(0, 2000, (B, L)).astype(np.int32))
+    mel = jax.jit(lambda a: logmel.log_mel_spectrogram(
+        a, cfg.num_mel_bins).astype(jnp.bfloat16))(audio)
+    enc_adp = {"encoder": adapters["encoder"]} if "encoder" in adapters else {}
+    dec_adp = {k: v for k, v in adapters.items() if k != "encoder"}
+
+    # --- logmel frontend
+    t_mel = timeit(jax.jit(lambda a: logmel.log_mel_spectrogram(
+        a, cfg.num_mel_bins)), audio)
+
+    # --- encoder fwd (params passed as args: closure constants would be
+    # uploaded with the program and overflow the axon tunnel's body limit)
+    def enc_fwd(params, adp, mel):
+        return W.encode(params, mel, cfg, adapters=adp,
+                        compute_dtype=jnp.bfloat16, remat=True)
+    t_enc_f = timeit(jax.jit(enc_fwd), params, enc_adp, mel)
+
+    # --- encoder fwd+bwd (grad wrt adapters)
+    def enc_loss(adp, params, mel):
+        return jnp.sum(enc_fwd(params, adp, mel)
+                       .astype(jnp.float32) ** 2) * 1e-6
+    t_enc_fb = timeit(jax.jit(jax.grad(enc_loss)), enc_adp, params, mel)
+
+    enc_out = jax.jit(enc_fwd)(params, enc_adp, mel)
+
+    # --- decoder fwd
+    def dec_fwd(params, adp, enc_out):
+        return W.decode_train(params, toks, enc_out, cfg, adapters=adp,
+                              compute_dtype=jnp.bfloat16, remat=True)
+    t_dec_f = timeit(jax.jit(dec_fwd), params, dec_adp, enc_out)
+
+    # --- decoder fwd+bwd (incl. grad through enc_out)
+    def dec_loss(adp, enc_out, params):
+        return jnp.sum(dec_fwd(params, adp, enc_out)
+                       .astype(jnp.float32) ** 2) * 1e-9
+    t_dec_fb = timeit(jax.jit(jax.grad(dec_loss, argnums=(0, 1))),
+                      dec_adp, enc_out, params)
+
+    # --- full train step for reference
+    from asr_finetune_tpu.training import optim
+    from asr_finetune_tpu.training.train_step import (
+        TrainStepConfig, make_train_state, make_train_step)
+    tx = optim.make_optimizer(1e-4, max_steps=1000)
+    tcfg = TrainStepConfig(mode="peft", compute_dtype=jnp.bfloat16,
+                           remat=True, on_device_logmel=True,
+                           n_mels=cfg.num_mel_bins, lora=lcfg,
+                           max_steps=1000)
+    state = make_train_state(params, tx, adapters=adapters)
+    step = jax.jit(make_train_step(cfg, tx, tcfg))
+    batch = {"audio": audio, "decoder_input_ids": toks, "labels": toks}
+    for _ in range(2):
+        state, m = step(state, batch)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    N = 5
+    for i in range(N):
+        state, m = step(state, batch)
+    float(m["loss"])
+    t_step = (time.perf_counter() - t0) / N * 1000
+
+    print(f"logmel frontend      : {t_mel:8.2f} ms")
+    print(f"encoder fwd          : {t_enc_f:8.2f} ms")
+    print(f"encoder fwd+bwd      : {t_enc_fb:8.2f} ms")
+    print(f"decoder fwd          : {t_dec_f:8.2f} ms")
+    print(f"decoder fwd+bwd      : {t_dec_fb:8.2f} ms")
+    print(f"enc_fb + dec_fb      : {t_enc_fb + t_dec_fb:8.2f} ms")
+    print(f"FULL train step      : {t_step:8.2f} ms "
+          f"({B / (t_step / 1000):.2f} utt/s)")
+
+
+if __name__ == "__main__":
+    main()
