@@ -120,6 +120,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "target_modules=['q_proj','v_proj'] suffix-matches "
                         "the whole model, trainers.py:525); 'decoder' "
                         "adapts decoder self/cross q,v only")
+    p.add_argument("--offload_optimizer", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="keep Adam m/v in pinned host memory between steps "
+                        "(DeepSpeed ZeRO-3 offload_optimizer analogue, "
+                        "reference trainers.py:403-406); for configs whose "
+                        "optimizer state exceeds HBM")
+    p.add_argument("--offload_param", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="PEFT: keep the frozen base in pinned host memory, "
+                        "gathered HBM-ward inside each step (ZeRO-3 "
+                        "offload_param analogue, trainers.py:407-410)")
     p.add_argument("--adalora", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--adalora_target_rank", type=int, default=0,
                    help="0 = rank//2")

@@ -100,6 +100,26 @@ def zero_shardings(tree: Params, mesh: Mesh) -> Params:
     return jax.tree.map(assign, tree)
 
 
+def with_memory_kind(shardings: Params, kind: str) -> Params:
+    """Same layouts, different memory space ("device" | "pinned_host")."""
+    return jax.tree.map(lambda s: s.with_memory_kind(kind), shardings)
+
+
+def host_offload_shardings(tree: Params, mesh: Mesh) -> Params:
+    """ZeRO-offload analogue (reference trainers.py:403-410
+    `offload_optimizer`/`offload_param` → CPU): the same per-leaf ZeRO
+    layout, resident in pinned host memory instead of HBM. The jitted
+    train step device_puts leaves HBM-ward before use and back after
+    (training/train_step.py `opt_placements`/`frozen_placements`); XLA
+    schedules the transfers so they overlap with compute where possible.
+
+    Unneeded at Whisper scale (large-v3 + Adam fits a 16 GB v5e with
+    room), but it is the capability that makes beyond-HBM configs — e.g.
+    full-FT Adam m/v for models several times larger — trainable on the
+    same mesh."""
+    return with_memory_kind(zero_shardings(tree, mesh), "pinned_host")
+
+
 def shard_tree(tree: Params, shardings: Params) -> Params:
     """device_put a pytree onto its shardings (host → sharded HBM)."""
     return jax.tree.map(jax.device_put, tree, shardings)

@@ -343,8 +343,23 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
         adapters = sh.shard_tree(adapters, sh.adapter_shardings(adapters, mesh))
     state = make_train_state(params, tx, adapters=adapters,
                              adalora=bool(lcfg and lcfg.adalora))
-    state["opt_state"] = sh.shard_tree(
-        state["opt_state"], sh.zero_shardings(state["opt_state"], mesh))
+    # ZeRO-offload analogue (reference trainers.py:400-434): optimizer
+    # state and/or the frozen PEFT base live in pinned host memory between
+    # steps; the jitted step gathers them HBM-ward at use
+    opt_placements = frozen_placements = None
+    opt_dev = sh.zero_shardings(state["opt_state"], mesh)
+    if args.offload_optimizer:
+        opt_host = sh.with_memory_kind(opt_dev, "pinned_host")
+        opt_placements = (opt_dev, opt_host)
+        state["opt_state"] = sh.shard_tree(state["opt_state"], opt_host)
+    else:
+        state["opt_state"] = sh.shard_tree(state["opt_state"], opt_dev)
+    if args.offload_param and args.peft:
+        par_dev = sh.param_shardings(state["params"], mesh)
+        frozen_placements = (par_dev, sh.with_memory_kind(par_dev,
+                                                          "pinned_host"))
+        state["params"] = sh.shard_tree(state["params"],
+                                        frozen_placements[1])
     # every leaf mesh-committed so checkpoint restore round-trips shardings
     state["step"] = jax.device_put(state["step"], mesh_lib.replicated(mesh))
     for aux in ("sensitivity", "rank_mask"):
@@ -395,7 +410,9 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
                       checkpoints=ckpt,
                       metrics_logger=MetricsLogger(out_dir),
                       on_evaluate=on_evaluate,
-                      eval_batch_sharding=mesh_lib.batch_sharding(mesh))
+                      eval_batch_sharding=mesh_lib.batch_sharding(mesh),
+                      opt_placements=opt_placements,
+                      frozen_placements=frozen_placements)
     resume = args.resume_training if resume_override is None else resume_override
     result = trainer.train(resume=resume)
     if jax.process_index() == 0:

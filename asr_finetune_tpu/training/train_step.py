@@ -127,11 +127,26 @@ def make_loss_fn(model_cfg: WhisperConfig, cfg: TrainStepConfig):
 
 
 def make_train_step(model_cfg: WhisperConfig, tx: optax.GradientTransformation,
-                    cfg: TrainStepConfig) -> Callable:
+                    cfg: TrainStepConfig,
+                    opt_placements=None, frozen_placements=None) -> Callable:
     """Returns step(state, batch) → (state, metrics).
 
     For accum_steps > 1, every batch leaf must have leading shape
     (accum_steps, microbatch, ...); grads are averaged over microbatches.
+
+    opt_placements / frozen_placements: optional (device_shardings,
+    host_shardings) pairs for host-offloaded state — the TPU analogue of
+    DeepSpeed ZeRO-3's `offload_optimizer` / `offload_param` (reference
+    trainers.py:400-434). When set, the corresponding state lives in
+    pinned host memory between steps (parallel/sharding.py
+    host_offload_shardings) and the step device_puts it to HBM at use.
+    With frozen_placements the signature changes to
+    step(state_without_params, batch, frozen_params): the base is a
+    SEPARATE, never-donated argument that does not round-trip through the
+    jit (jit outputs always land in device memory, so a pass-through would
+    silently re-materialize the base in HBM — and donating it would free
+    the host buffer). The caller keeps the host-resident array and
+    re-attaches it (see training/trainer.py / offload_opt_state).
     """
     loss_fn = make_loss_fn(model_cfg, cfg)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -163,10 +178,17 @@ def make_train_step(model_cfg: WhisperConfig, tx: optax.GradientTransformation,
         m = {k: (v * inv if v.dtype != jnp.int32 else v) for k, v in m.items()}
         return g, m
 
-    def step(state: Dict[str, Any], batch: Dict[str, jax.Array]):
+    def step(state: Dict[str, Any], batch: Dict[str, jax.Array],
+             frozen_params: Optional[Params] = None):
         peft = cfg.mode == "peft"
         trainable = state["adapters"] if peft else state["params"]
-        frozen = state["params"] if peft else None
+        if peft and frozen_placements is not None:
+            # offloaded base arrives as the separate host-resident arg;
+            # gather it into HBM for this step's forward/backward
+            frozen = jax.tree.map(jax.device_put, frozen_params,
+                                  frozen_placements[0])
+        else:
+            frozen = state["params"] if peft else None
 
         rank_mask = state.get("rank_mask")
         rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state["step"])
@@ -177,7 +199,15 @@ def make_train_step(model_cfg: WhisperConfig, tx: optax.GradientTransformation,
             grads, metrics = single_grads(trainable, frozen, batch, rng,
                                           rank_mask)
 
-        updates, new_opt = tx.update(grads, state["opt_state"], trainable)
+        opt_in = state["opt_state"]
+        if opt_placements is not None:
+            # host->HBM gather inside the step; the scatter BACK to pinned
+            # host happens outside the jit (offload_opt_state below): XLA's
+            # CPU backend ignores in-jit host-placement annotations on
+            # outputs and rejects host-kind out_shardings, and the
+            # outside-jit device_put is an async DMA either way
+            opt_in = jax.tree.map(jax.device_put, opt_in, opt_placements[0])
+        updates, new_opt = tx.update(grads, opt_in, trainable)
         new_trainable = optax.apply_updates(trainable, updates)
 
         new_state = dict(state)
@@ -199,6 +229,17 @@ def make_train_step(model_cfg: WhisperConfig, tx: optax.GradientTransformation,
         return new_state, metrics
 
     return step
+
+
+def offload_opt_state(state: Dict[str, Any], host_shardings) -> Dict[str, Any]:
+    """Scatter the step's freshly-updated optimizer state back to pinned
+    host memory (async DMA; overlaps the next step's forward). Pair with
+    make_train_step(opt_placements=...) — see its docstring for why this
+    leg lives outside the jit."""
+    out = dict(state)
+    out["opt_state"] = jax.tree.map(jax.device_put, state["opt_state"],
+                                    host_shardings)
+    return out
 
 
 def make_eval_loss_step(model_cfg: WhisperConfig, cfg: TrainStepConfig) -> Callable:

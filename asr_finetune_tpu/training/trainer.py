@@ -33,7 +33,8 @@ from ..models.configs import WhisperConfig
 from ..models.tokenizer import WhisperTokenizerBase
 from ..utils.logging_utils import MetricsLogger
 from .checkpoint import CheckpointManager
-from .train_step import TrainStepConfig, make_eval_loss_step, make_train_step
+from .train_step import (TrainStepConfig, make_eval_loss_step,
+                         make_train_step, offload_opt_state)
 
 logger = logging.getLogger(__name__)
 
@@ -87,11 +88,16 @@ class Trainer:
                  checkpoints: Optional[CheckpointManager] = None,
                  metrics_logger: Optional[MetricsLogger] = None,
                  on_evaluate: Optional[Callable[[int, Dict[str, float]], bool]] = None,
-                 eval_batch_sharding=None):
+                 eval_batch_sharding=None,
+                 opt_placements=None, frozen_placements=None):
         """train_iter(start_step) → infinite batch iterator (device-ready);
         eval_batches_fn(shard_id) → list of eval batches for one val shard.
         eval_batch_sharding: NamedSharding for eval batches; required for
-        multi-host runs (each process feeds its slice, metrics are global)."""
+        multi-host runs (each process feeds its slice, metrics are global).
+        opt_placements / frozen_placements: (device, host) sharding-tree
+        pairs for ZeRO-offload-style host residency of the optimizer state
+        / frozen PEFT base (see train_step.make_train_step); eval gathers
+        an HBM copy of an offloaded base once per evaluate() call."""
         self.model_cfg = model_cfg
         self.state = state
         self.cfg = cfg
@@ -111,8 +117,31 @@ class Trainer:
         # ray_searchers_and_schedulers.py:63-76)
         self.on_evaluate = on_evaluate
 
-        self._train_step = jax.jit(make_train_step(model_cfg, tx, step_cfg),
-                                   donate_argnums=(0,))
+        self._frozen_placements = frozen_placements
+        inner_step = jax.jit(
+            make_train_step(model_cfg, tx, step_cfg,
+                            opt_placements=opt_placements,
+                            frozen_placements=frozen_placements),
+            donate_argnums=(0,))
+        if opt_placements is None and frozen_placements is None:
+            self._train_step = inner_step
+        else:
+            def _step_offload(state, batch):
+                if frozen_placements is not None:
+                    # host-resident base rides OUTSIDE the jit (see
+                    # make_train_step docstring); never donated
+                    frozen = state["params"]
+                    s = {k: v for k, v in state.items() if k != "params"}
+                    s, m = inner_step(s, batch, frozen)
+                    s["params"] = frozen
+                else:
+                    s, m = inner_step(state, batch)
+                if opt_placements is not None:
+                    # async DMA back to pinned host; overlaps the next step
+                    s = offload_opt_state(s, opt_placements[1])
+                return s, m
+
+            self._train_step = _step_offload
         self._eval_loss_step = jax.jit(make_eval_loss_step(model_cfg, step_cfg))
         forced = tokenizer.prefix_tokens(cfg.language, cfg.task,
                                          predict_timestamps=cfg.return_timestamps)
@@ -151,6 +180,13 @@ class Trainer:
         refs: List[str] = []
         hyps: List[str] = []
         peft = self.step_cfg.mode == "peft"
+        eval_state = self.state
+        if self._frozen_placements is not None:
+            # offloaded base: one host->HBM gather for the whole eval pass
+            eval_state = dict(self.state)
+            eval_state["params"] = jax.tree.map(
+                jax.device_put, self.state["params"],
+                self._frozen_placements[0])
         for i, batch in enumerate(batches):
             if self.cfg.eval_max_batches and i >= self.cfg.eval_max_batches:
                 break
@@ -173,7 +209,7 @@ class Trainer:
                 local = {k: v[pi * nl:(pi + 1) * nl]
                          for k, v in device_batch.items()}
                 device_batch = make_global_batch(local, self.eval_batch_sharding)
-            m = self._eval_loss_step(self.state, device_batch)
+            m = self._eval_loss_step(eval_state, device_batch)
             losses.append(float(m["loss"]))
             counts.append(int(m["tokens"]))
             if self.cfg.compute_wer:
@@ -187,7 +223,7 @@ class Trainer:
                     from . import lora as lora_lib
                     adapters = lora_lib.apply_rank_mask(
                         adapters, self.state.get("rank_mask"))
-                tokens, _ = self._decode(self.state["params"], mel, adapters)
+                tokens, _ = self._decode(eval_state["params"], mel, adapters)
                 texts = self.tokenizer.batch_decode(np.asarray(tokens)[:n_valid])
                 hyps.extend(normalize(t) for t in texts)
                 refs.extend(normalize(str(t)) for t in batch["text"][:n_valid])

@@ -87,7 +87,7 @@ def main():
     audio = jnp.asarray(host_rng.standard_normal(
         (BATCH, logmel.CHUNK_SAMPLES)).astype(np.float32) * 0.1)
     toks = jnp.asarray(host_rng.integers(
-        0, cfg.vocab_size - 2000, (BATCH, LABEL_LEN)).astype(np.int32))
+        0, max(cfg.vocab_size - 2000, 2), (BATCH, LABEL_LEN)).astype(np.int32))
     batch = {"audio": audio, "decoder_input_ids": toks, "labels": toks}
 
     for _ in range(WARMUP):
