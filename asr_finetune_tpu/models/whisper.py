@@ -153,9 +153,11 @@ def _ckpt(fn):
     - "dec_qkv"/"dec_xkv"/"dec_mlp_h": same for the decoder (cheap at
       T≤448; ~1 GB).
 
-    Override with ASR_TPU_REMAT_SAVE=mid | enc | enc+dec (default
-    enc+dec, measured fastest with headroom on the 16 GB v5e — see
-    ARCHITECTURE.md round-3 notes)."""
+    Override with ASR_TPU_REMAT_SAVE=mid | enc | enc+dec. Default
+    enc+dec; on the parity large-v3 step all three measured within ±1%
+    on v5e (the recompute the extra saves eliminate costs about the same
+    as their ~8 GB of HBM write+read traffic), with enc+dec ahead by a
+    hair once the attention residuals were saved in kernel layout."""
     import os
     mode = os.environ.get("ASR_TPU_REMAT_SAVE", "enc+dec")
     names = ["blk_mid"]
@@ -199,54 +201,83 @@ def layer_norm(x: jax.Array, ln: Params, eps: float = 1e-5) -> jax.Array:
     return y.astype(dtype)
 
 
+def _base_matmul_multi(x: jax.Array, ps: tuple) -> list:
+    """[x @ W_p for p in ps] as ONE matmul over concatenated output
+    channels. Two wins measured on v5e: a (N,1280)x(1280,1280) matmul runs
+    at ~66% of the rate of the wider (1280, 3x1280) shape, and the W8A8
+    path quantizes the shared activation ONCE instead of once per
+    projection (the per-row amax/round pass costs as much VPU time as a
+    whole projection). The backward collapses the three dx matmuls into
+    one for free via the same concatenated weight."""
+    if all("w_q8" in p for p in ps):
+        from ..ops import quant as _quant
+        w8 = jnp.concatenate([p["w_q8"] for p in ps], axis=-1) \
+            if len(ps) > 1 else ps[0]["w_q8"]
+        ws = jnp.concatenate(
+            [p["w_scale"].reshape(1, -1) for p in ps], axis=-1)
+        if _quant.int8_compute_enabled():
+            # opt-in W8A8: s8xs8->s32 on the MXU (ops/quant.int8_matmul)
+            y = _quant.int8_matmul(x, w8, ws)
+        else:
+            y = x @ (w8.astype(x.dtype) * ws.astype(x.dtype))
+    else:
+        w = jnp.concatenate([p["w"] for p in ps], axis=-1).astype(x.dtype) \
+            if len(ps) > 1 else ps[0]["w"].astype(x.dtype)
+        y = x @ w
+    outs = []
+    off = 0
+    for p in ps:
+        d = (p["w_q8"] if "w_q8" in p else p["w"]).shape[-1]
+        yp = jax.lax.slice_in_dim(y, off, off + d, axis=-1)
+        off += d
+        outs.append(yp)
+    return outs
+
+
+def _lora_delta(x: jax.Array, lora: Params, dropout_rate: float,
+                dropout_rng: Optional[jax.Array]) -> jax.Array:
+    """Low-rank adapter delta scaling * ((drop(x)@a)*e) @ b.
+
+    Adapter format (see training/lora.py): {"a": (d_in, r), "e": (r,),
+    "b": (r, d_out), "scaling": ()} — plain LoRA with e == 1, AdaLoRA's
+    SVD form otherwise. When a dropout rng is given (training), the
+    ADAPTER INPUT is dropped out, matching peft's lora_dropout (reference
+    trains with lora_dropout=0.05, trainers.py:527); the frozen base path
+    never sees dropout."""
+    a = lora["a"].astype(x.dtype)
+    b = lora["b"].astype(x.dtype)
+    e = lora["e"].astype(x.dtype)
+    xa = x
+    if dropout_rng is not None and dropout_rate > 0.0:
+        # hardware RNG (lax.rng_bit_generator) instead of threefry
+        # bernoulli: the per-site threefry masks measurably cost 10%
+        # of the large-v3 LoRA step (37 ms) on v5e; the uint32
+        # threshold gives P(keep) = 1 - rate to within 2^-32.
+        # REPRODUCIBILITY: the DEFAULT algorithm's bit stream is
+        # backend-dependent, so dropout masks are deterministic per
+        # backend but not identical across TPU/CPU; the loss/WER
+        # statistics are seed-stable either way. Pin
+        # RandomAlgorithm.RNG_THREE_FRY here if cross-backend
+        # bit-parity ever matters more than the 10% step-time win.
+        key4 = jnp.concatenate([dropout_rng, dropout_rng]).astype(jnp.uint32)
+        _, bits = jax.lax.rng_bit_generator(key4, x.shape, jnp.uint32)
+        thresh = np.uint32(round(dropout_rate * 4294967296.0))
+        xa = jnp.where(bits >= thresh, x / (1.0 - dropout_rate),
+                       0.0).astype(x.dtype)
+    return ((xa @ a) * e) @ b * lora["scaling"].astype(x.dtype)
+
+
 def dense(x: jax.Array, p: Params, lora: Optional[Params] = None,
           dropout_rate: float = 0.0,
           dropout_rng: Optional[jax.Array] = None) -> jax.Array:
-    """x @ W (+ b) with an optional low-rank adapter delta.
-
-    Adapter format (see training/lora.py): {"a": (d_in, r), "e": (r,),
-    "b": (r, d_out), "scaling": ()} computing scaling * ((x@a)*e) @ b —
-    plain LoRA with e == 1, AdaLoRA's SVD form otherwise. When a dropout
-    rng is given (training), the ADAPTER INPUT is dropped out, matching
-    peft's lora_dropout (reference trains with lora_dropout=0.05,
-    trainers.py:527); the frozen base path never sees dropout.
+    """x @ W (+ b) with an optional low-rank adapter delta (_lora_delta).
 
     Accepts int8-quantized weights ({"w_q8", "w_scale"}, ops/quant.py) for
     the frozen PEFT base; XLA fuses the dequant into the matmul operand.
     """
-    if "w_q8" in p:
-        from ..ops import quant as _quant
-        if _quant.int8_compute_enabled():
-            # opt-in W8A8: s8xs8->s32 on the MXU (ops/quant.int8_matmul)
-            y = _quant.int8_matmul(x, p["w_q8"], p["w_scale"])
-        else:
-            w = p["w_q8"].astype(x.dtype) * p["w_scale"].astype(x.dtype)
-            y = x @ w
-    else:
-        w = p["w"].astype(x.dtype)
-        y = x @ w
+    y = _base_matmul_multi(x, (p,))[0]
     if lora is not None:
-        a = lora["a"].astype(x.dtype)
-        b = lora["b"].astype(x.dtype)
-        e = lora["e"].astype(x.dtype)
-        xa = x
-        if dropout_rng is not None and dropout_rate > 0.0:
-            # hardware RNG (lax.rng_bit_generator) instead of threefry
-            # bernoulli: the per-site threefry masks measurably cost 10%
-            # of the large-v3 LoRA step (37 ms) on v5e; the uint32
-            # threshold gives P(keep) = 1 - rate to within 2^-32.
-            # REPRODUCIBILITY: the DEFAULT algorithm's bit stream is
-            # backend-dependent, so dropout masks are deterministic per
-            # backend but not identical across TPU/CPU; the loss/WER
-            # statistics are seed-stable either way. Pin
-            # RandomAlgorithm.RNG_THREE_FRY here if cross-backend
-            # bit-parity ever matters more than the 10% step-time win.
-            key4 = jnp.concatenate([dropout_rng, dropout_rng]).astype(jnp.uint32)
-            _, bits = jax.lax.rng_bit_generator(key4, x.shape, jnp.uint32)
-            thresh = np.uint32(round(dropout_rate * 4294967296.0))
-            xa = jnp.where(bits >= thresh, x / (1.0 - dropout_rate),
-                           0.0).astype(x.dtype)
-        y = y + ((xa @ a) * e) @ b * lora["scaling"].astype(x.dtype)
+        y = y + _lora_delta(x, lora, dropout_rate, dropout_rng)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -296,12 +327,19 @@ def mha(x: jax.Array, kv_src: jax.Array, p: Params, heads: int,
     rq = rv = None
     if dropout_rng is not None and lora_dropout > 0.0:
         rq, rv = jax.random.split(dropout_rng)
-    q = _split_heads(_named(dense(x, p["q"], lq, lora_dropout, rq),
-                            save_tag), heads)
-    k = _split_heads(_named(dense(kv_src, p["k"]), save_tag), heads)
-    v = _split_heads(_named(dense(kv_src, p["v"], lv, lora_dropout, rv),
-                            save_tag), heads)
-    out = _attention_dispatch(q, k, v, mask, causal=causal, impl=impl)
+    # NOTE: fusing q/k/v into one wide matmul (shared activation quant +
+    # (D, 3D) int8 dot) measured 4% SLOWER end-to-end on v5e — the
+    # per-layer weight concat and gradient re-concat copies outweigh the
+    # quant sharing XLA already amortizes. Kept as three matmuls.
+    q = _split_heads(dense(x, p["q"], lq, lora_dropout, rq), heads)
+    k = _split_heads(dense(kv_src, p["k"]), heads)
+    v = _split_heads(dense(kv_src, p["v"], lv, lora_dropout, rv), heads)
+    # save_tag applies to whatever layout the chosen attention path's VJP
+    # consumes (ops/attention.attention) — for the dense Pallas path that
+    # is the padded/transposed kernel layout, so the remat'd backward
+    # skips the per-layer pad+transpose recompute too
+    out = _attention_dispatch(q, k, v, mask, causal=causal, impl=impl,
+                              save_tag=save_tag)
     return dense(_merge_heads(out), p["o"])
 
 
@@ -400,6 +438,12 @@ def decode_train(params: Params, tokens: jax.Array, enc_out: jax.Array,
     drop = (dec_adapters is not None and dropout_rng is not None
             and lora_dropout > 0.0)
 
+    # NOTE: hoisting the cross-attention K/V projections out of the scan
+    # (all layers project the same enc_out -> two (B·Tk, d)x(d, L·d)
+    # matmuls) measured 2.5% SLOWER end-to-end on v5e despite the better
+    # matmul shape: the staged (L, B, Tk, d) outputs are ~2 GB and their
+    # relayout to the scan's layer-major order costs more HBM traffic
+    # than the small in-scan matmuls cost MXU time. Kept per-layer.
     def layer(x, xs):
         lp, la, rng = xs
         sa_l = la.get("self_attn") if la else None

@@ -107,7 +107,8 @@ def flash(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
               mask: Optional[jax.Array] = None, causal: bool = False,
-              impl: str = "auto") -> jax.Array:
+              impl: str = "auto",
+              save_tag: Optional[str] = None) -> jax.Array:
     """Dispatch, fastest-first for Whisper's shapes:
 
     1. dense whole-row Pallas attention (ops/encoder_attention.py) for
@@ -119,6 +120,12 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
        docstring).
     2. upstream Pallas flash attention for long causal / oversize rows.
     3. XLA softmax attention (custom masks, short queries, CPU tests).
+
+    save_tag: remat save-point name applied to the q/k/v the chosen
+    path's VJP actually consumes — for the dense path that is the
+    PREPPED (BH, T_pad, hd) layout, so a layer-remat'd backward reuses
+    the saved kernel-layout arrays instead of re-padding/transposing
+    three (B, T, H, hd) tensors per layer.
     """
     Tq_p = _round_up(q.shape[1], 128)
     Tk_p = _round_up(k.shape[1], 128)
@@ -128,7 +135,12 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
                  and 3 * Tq_p * Tk_p * 4 <= 48 * 1024 * 1024)
     if use_dense:
         from .encoder_attention import encoder_attention
-        return encoder_attention(q, k, v)
+        return encoder_attention(q, k, v, save_tag=save_tag)
+    if save_tag is not None:
+        from jax.ad_checkpoint import checkpoint_name
+        q = checkpoint_name(q, save_tag)
+        k = checkpoint_name(k, save_tag)
+        v = checkpoint_name(v, save_tag)
     use_flash = (impl in ("auto", "flash") and mask is None
                  and q.shape[1] >= 128 and _flash_available())
     if use_flash:

@@ -55,19 +55,23 @@ def _interpret_default() -> bool:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, s_valid, Tk):
-    q = q_ref[0]                                           # (Tq, hd)
-    k = k_ref[0]                                           # (Tk, hd)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    if s_valid < Tk:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < s_valid, s, NEG)
-    m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=1, keepdims=True)
-    o_ref[0] = jax.lax.dot(p.astype(v_ref.dtype), v_ref[0],
-                           preferred_element_type=jnp.float32
-                           ).astype(o_ref.dtype)
+    # softmax division DEFERRED past the p@v matmul: normalizing the
+    # (Tq, hd) output costs Tk/hd = 24x fewer VPU divides than
+    # normalizing the (Tq, Tk) probability tile
+    for g in range(q_ref.shape[0]):                        # heads per program
+        q = q_ref[g]                                       # (Tq, hd)
+        k = k_ref[g]                                       # (Tk, hd)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if s_valid < Tk:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < s_valid, s, NEG)
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = 1.0 / jnp.sum(e, axis=1, keepdims=True)        # (Tq, 1)
+        ev = jax.lax.dot(e.astype(v_ref.dtype), v_ref[g],
+                         preferred_element_type=jnp.float32)
+        o_ref[g] = (ev * r).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
@@ -100,9 +104,20 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
 
 
-def _specs(n: int, T: int, hd: int):
-    return [pl.BlockSpec((1, T, hd), lambda i: (i, 0, 0),
+def _specs(n: int, T: int, hd: int, g: int = 1):
+    return [pl.BlockSpec((g, T, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM) for _ in range(n)]
+
+
+def _heads_per_program(BH: int, Tq: int, Tk: int) -> int:
+    """Per-program grid overhead is ~6 us; batching G heads per program
+    amortizes it. Bounded by the f32 (Tq, Tk) tile staying well under the
+    VMEM budget (only one head's tile is live at a time, but operands and
+    double-buffered blocks scale with G)."""
+    for g in (4, 2):
+        if BH % g == 0 and g * (Tq + 2 * Tk) * 64 * 2 < 16 * 1024 * 1024:
+            return g
+    return 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -120,12 +135,13 @@ def _fwd(q, k, v, s_valid, interpret):
     BH, Tq, hd = q.shape
     Tk = k.shape[1]
     scale = hd ** -0.5
+    g = _heads_per_program(BH, Tq, Tk)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, s_valid=s_valid, Tk=Tk),
         out_shape=jax.ShapeDtypeStruct((BH, Tq, hd), q.dtype),
-        grid=(BH,),
-        in_specs=_specs(1, Tq, hd) + _specs(2, Tk, hd),
-        out_specs=_specs(1, Tq, hd)[0],
+        grid=(BH // g,),
+        in_specs=_specs(1, Tq, hd, g) + _specs(2, Tk, hd, g),
+        out_specs=_specs(1, Tq, hd, g)[0],
         compiler_params=_VMEM_LIMIT,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -170,10 +186,16 @@ def _round_up(n: int, m: int) -> int:
 
 
 def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                      interpret: Optional[bool] = None) -> jax.Array:
+                      interpret: Optional[bool] = None,
+                      save_tag: Optional[str] = None) -> jax.Array:
     """(B, Tq, H, hd) non-causal attention; Tk zero-padded to a lane
     multiple with in-kernel masking. Drop-in for ops/attention.attention
-    on the encoder/cross shapes."""
+    on the encoder/cross shapes.
+
+    save_tag marks the PREPPED (BH, T_pad, hd) tensors as remat save
+    points: they are dense_attention's exact VJP residuals, so a
+    layer-remat'd backward neither re-runs the kernel nor re-does the
+    pad/transpose prep."""
     B, Tq, H, hd = q.shape
     Tk = k.shape[1]
     Tq_p, Tk_p = _round_up(Tq, 128), _round_up(Tk, 128)
@@ -181,7 +203,11 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     def prep(x, T_p):
         if x.shape[1] != T_p:
             x = jnp.pad(x, ((0, 0), (0, T_p - x.shape[1]), (0, 0), (0, 0)))
-        return x.transpose(0, 2, 1, 3).reshape(B * H, T_p, hd)
+        x = x.transpose(0, 2, 1, 3).reshape(B * H, T_p, hd)
+        if save_tag is not None:
+            from jax.ad_checkpoint import checkpoint_name
+            x = checkpoint_name(x, save_tag)
+        return x
 
     out = dense_attention(prep(q, Tq_p), prep(k, Tk_p), prep(v, Tk_p),
                           Tk, interpret)

@@ -64,9 +64,13 @@ def main():
     enc_adp = {"encoder": adapters["encoder"]} if "encoder" in adapters else {}
     dec_adp = {k: v for k, v in adapters.items() if k != "encoder"}
 
+    def report(name, t):
+        print(f"{name:22s}: {t:8.2f} ms", flush=True)
+
     # --- logmel frontend
     t_mel = timeit(jax.jit(lambda a: logmel.log_mel_spectrogram(
         a, cfg.num_mel_bins)), audio)
+    report("logmel frontend", t_mel)
 
     # --- encoder fwd (params passed as args: closure constants would be
     # uploaded with the program and overflow the axon tunnel's body limit)
@@ -74,12 +78,14 @@ def main():
         return W.encode(params, mel, cfg, adapters=adp,
                         compute_dtype=jnp.bfloat16, remat=True)
     t_enc_f = timeit(jax.jit(enc_fwd), params, enc_adp, mel)
+    report("encoder fwd", t_enc_f)
 
     # --- encoder fwd+bwd (grad wrt adapters)
     def enc_loss(adp, params, mel):
         return jnp.sum(enc_fwd(params, adp, mel)
                        .astype(jnp.float32) ** 2) * 1e-6
     t_enc_fb = timeit(jax.jit(jax.grad(enc_loss)), enc_adp, params, mel)
+    report("encoder fwd+bwd", t_enc_fb)
 
     enc_out = jax.jit(enc_fwd)(params, enc_adp, mel)
 
@@ -88,6 +94,7 @@ def main():
         return W.decode_train(params, toks, enc_out, cfg, adapters=adp,
                               compute_dtype=jnp.bfloat16, remat=True)
     t_dec_f = timeit(jax.jit(dec_fwd), params, dec_adp, enc_out)
+    report("decoder fwd", t_dec_f)
 
     # --- decoder fwd+bwd (incl. grad through enc_out)
     def dec_loss(adp, enc_out, params):
@@ -95,37 +102,11 @@ def main():
                        .astype(jnp.float32) ** 2) * 1e-9
     t_dec_fb = timeit(jax.jit(jax.grad(dec_loss, argnums=(0, 1))),
                       dec_adp, enc_out, params)
+    report("decoder fwd+bwd", t_dec_fb)
 
-    # --- full train step for reference
-    from asr_finetune_tpu.training import optim
-    from asr_finetune_tpu.training.train_step import (
-        TrainStepConfig, make_train_state, make_train_step)
-    tx = optim.make_optimizer(1e-4, max_steps=1000)
-    tcfg = TrainStepConfig(mode="peft", compute_dtype=jnp.bfloat16,
-                           remat=True, on_device_logmel=True,
-                           n_mels=cfg.num_mel_bins, lora=lcfg,
-                           max_steps=1000)
-    state = make_train_state(params, tx, adapters=adapters)
-    step = jax.jit(make_train_step(cfg, tx, tcfg))
-    batch = {"audio": audio, "decoder_input_ids": toks, "labels": toks}
-    for _ in range(2):
-        state, m = step(state, batch)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    N = 5
-    for i in range(N):
-        state, m = step(state, batch)
-    float(m["loss"])
-    t_step = (time.perf_counter() - t0) / N * 1000
-
-    print(f"logmel frontend      : {t_mel:8.2f} ms")
-    print(f"encoder fwd          : {t_enc_f:8.2f} ms")
-    print(f"encoder fwd+bwd      : {t_enc_fb:8.2f} ms")
-    print(f"decoder fwd          : {t_dec_f:8.2f} ms")
-    print(f"decoder fwd+bwd      : {t_dec_fb:8.2f} ms")
-    print(f"enc_fb + dec_fb      : {t_enc_fb + t_dec_fb:8.2f} ms")
-    print(f"FULL train step      : {t_step:8.2f} ms "
-          f"({B / (t_step / 1000):.2f} utt/s)")
+    # the full train step is bench.py's job — holding every stage's
+    # buffers AND a train state OOMs the 16 GB chip from inside this tool
+    report("enc_fb + dec_fb", t_enc_fb + t_dec_fb)
 
 
 if __name__ == "__main__":

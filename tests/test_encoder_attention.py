@@ -76,7 +76,7 @@ def test_dispatch_prefers_dense_then_falls_back(monkeypatch):
     calls = {}
     monkeypatch.setattr(A, "_flash_available", lambda: True)
 
-    def fake_dense(q, k, v):
+    def fake_dense(q, k, v, save_tag=None):
         calls["dense"] = True
         return jnp.zeros(q.shape, q.dtype)
 
