@@ -35,6 +35,17 @@ def test_forward_cross_shape():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_forward_odd_head_count():
+    """BH=5 exercises the heads-per-program g=1 fallback (5 % 4 != 0,
+    5 % 2 != 0); BH=6 the g=2 path; the default shapes cover g=4."""
+    for B, H in ((5, 1), (3, 2)):
+        q, k, v = _qkv(np.random.default_rng(10 + B), B=B, H=H)
+        out = encoder_attention(q, k, v, interpret=True)
+        ref = xla_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_fused_backward_matches_xla_grads():
     """The single-pass bwd kernel's dq/dk/dv against autodiff through the
     XLA reference — including the di = rowsum(p*dp) identity."""
