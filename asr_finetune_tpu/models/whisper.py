@@ -457,8 +457,13 @@ def decode_train(params: Params, tokens: jax.Array, enc_out: jax.Array,
                          lora_dropout=lora_dropout if drop else 0.0,
                          dropout_rng=r_sa, save_tag="dec_qkv"))
         h = layer_norm(x, lp["ln2"])
+        # cross-attention is non-causal with Tk=750 rows: eligible for the
+        # dense whole-row kernel even when the causal self-attention is
+        # pinned to XLA (decoder_attn_impl="xla", the measured-fastest
+        # split for T<=448 causal shapes)
+        cross_impl = "auto" if attn_impl == "xla" else attn_impl
         x = _mid(x + mha(h, enc_out, lp["cross_attn"], cfg.decoder_heads,
-                         lora=ca_l, impl=attn_impl,
+                         lora=ca_l, impl=cross_impl,
                          lora_dropout=lora_dropout if drop else 0.0,
                          dropout_rng=r_ca, save_tag="dec_xkv"))
         h = layer_norm(x, lp["ln3"])
