@@ -78,3 +78,18 @@ def test_peft_e2e(data_dir, tmp_path):
     result = run_lib.run_trial(args)
     assert result["final_step"] == 8
     assert np.isfinite(result["eval_loss"])
+
+
+def test_peft_offload_e2e(data_dir, tmp_path):
+    """--offload_optimizer/--offload_param through the full run.py wiring:
+    host placements built in run_trial, gathered inside the jitted step,
+    eval decodes from an HBM copy of the host-resident base (ZeRO-offload
+    analogue; unit-level numerics in tests/test_host_offload.py)."""
+    import jax
+    args = _args(data_dir, tmp_path, extra=[
+        "--peft", "--lora_rank", "4", "--lora_alpha", "8",
+        "--offload_optimizer", "--offload_param"])
+    result = run_lib.run_trial(args)
+    assert result["final_step"] == 8
+    assert np.isfinite(result["eval_loss"])
+    assert "eval_wer" in result
