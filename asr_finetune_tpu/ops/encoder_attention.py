@@ -76,32 +76,33 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, s_valid, Tk):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
                 *, scale, s_valid, Tk):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    if s_valid < Tk:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < s_valid, s, NEG)
-    m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=1, keepdims=True)          # (Tq, Tk) f32
+    for g in range(q_ref.shape[0]):                    # heads per program
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        do = do_ref[g]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if s_valid < Tk:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < s_valid, s, NEG)
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)      # (Tq, Tk) f32
 
-    pc = p.astype(do.dtype)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    di = jnp.sum(p * dp, axis=1, keepdims=True)        # rowsum(do·o)
-    ds = (p * (dp - di)).astype(q.dtype)               # (Tq, Tk)
-    dq_ref[0] = (jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
-                 * scale).astype(dq_ref.dtype)
-    dk_ref[0] = (jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
-    dv_ref[0] = jax.lax.dot_general(
-        pc, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        pc = p.astype(do.dtype)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        di = jnp.sum(p * dp, axis=1, keepdims=True)    # rowsum(do·o)
+        ds = (p * (dp - di)).astype(q.dtype)           # (Tq, Tk)
+        dq_ref[g] = (jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+                     * scale).astype(dq_ref.dtype)
+        dk_ref[g] = (jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+        dv_ref[g] = jax.lax.dot_general(
+            pc, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
 
 
 def _specs(n: int, T: int, hd: int, g: int = 1):
@@ -159,15 +160,18 @@ def _bwd(s_valid, interpret, res, do):
     BH, Tq, hd = q.shape
     Tk = k.shape[1]
     scale = hd ** -0.5
+    # the bwd live set per head (~28 MB of f32 (Tq,Tk) tiles) leaves less
+    # VMEM for block double-buffering than the fwd: cap at 2 heads/program
+    g = min(_heads_per_program(BH, Tq, Tk), 2)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, s_valid=s_valid, Tk=Tk),
         out_shape=(jax.ShapeDtypeStruct((BH, Tq, hd), q.dtype),
                    jax.ShapeDtypeStruct((BH, Tk, hd), k.dtype),
                    jax.ShapeDtypeStruct((BH, Tk, hd), v.dtype)),
-        grid=(BH,),
-        in_specs=_specs(2, Tq, hd)[:1] + _specs(2, Tk, hd)
-        + _specs(1, Tq, hd),
-        out_specs=tuple(_specs(1, Tq, hd)[:1] + _specs(2, Tk, hd)),
+        grid=(BH // g,),
+        in_specs=_specs(2, Tq, hd, g)[:1] + _specs(2, Tk, hd, g)
+        + _specs(1, Tq, hd, g),
+        out_specs=tuple(_specs(1, Tq, hd, g)[:1] + _specs(2, Tk, hd, g)),
         compiler_params=_VMEM_LIMIT,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
