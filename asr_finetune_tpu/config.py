@@ -109,8 +109,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream int8 decoder weights during WER decode")
     p.add_argument("--int8_matmul", action=argparse.BooleanOptionalAction, default=False,
                    help="compute frozen-base matmuls in int8 on the MXU "
-                        "(vector-wise W8A8, bitsandbytes-style without "
-                        "outlier decomposition); needs --load_in_8bit")
+                        "(vector-wise W8A8, bitsandbytes-style); needs "
+                        "--load_in_8bit")
+    p.add_argument("--int8_outlier_cols", type=int, default=0,
+                   help="with --int8_matmul: route the k largest-|amax| "
+                        "input features of every W8A8 matmul through a "
+                        "float side-matmul (fixed-k, jit-friendly form of "
+                        "bnb LLM.int8()'s fp16 outlier columns); 0 = off")
     p.add_argument("--lora_rank", type=int, default=8)
     p.add_argument("--lora_alpha", type=float, default=16.0)
     p.add_argument("--lora_targets", type=str, default="all",

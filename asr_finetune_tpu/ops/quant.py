@@ -78,11 +78,16 @@ def quantized_size_bytes(params: Params) -> int:
 # weight scales). The default TPU path here dequantizes into the bf16
 # matmul (numerics-safe); this opt-in path runs the frozen-base forward as
 # s8xs8->s32 on the MXU, which v5e rates at 2x bf16 (measured ~1.26x on
-# Whisper's K=1280 shapes). No outlier decomposition (bnb's fp16 outlier
-# columns, threshold 6.0) — acceptable at Whisper scale, and the flag is
-# off by default.
+# Whisper's K=1280 shapes). Outlier decomposition (bnb's fp16 outlier
+# columns, threshold 6.0, LLM.int8() §3.2) is available as a fixed-k
+# variant via set_int8_outlier_cols(k) / --int8_outlier_cols: the k
+# highest-|amax| input FEATURES per matmul are computed against the
+# dequantized weight rows in float and masked out of the int8 path. A
+# fixed k (top_k) instead of a data-dependent threshold keeps every shape
+# static under jit; k=0 (default) is the plain vector-wise path.
 
 _INT8_COMPUTE = False
+_INT8_OUTLIER_COLS = 0
 
 
 def set_int8_compute(on: bool) -> None:
@@ -96,19 +101,57 @@ def int8_compute_enabled() -> bool:
     return _INT8_COMPUTE
 
 
+def set_int8_outlier_cols(k: int) -> None:
+    """Mixed-precision decomposition width for W8A8 matmuls: the k input
+    features with the largest batch amax go through a float side-matmul
+    (bnb LLM.int8()'s outlier columns, jit-friendly fixed-k form). Read at
+    trace time — set before building the jitted step."""
+    global _INT8_OUTLIER_COLS
+    _INT8_OUTLIER_COLS = int(k)
+
+
+def int8_outlier_cols() -> int:
+    return _INT8_OUTLIER_COLS
+
+
 def _w8a8_impl(x: jax.Array, w_q8: jax.Array, w_scale: jax.Array) -> jax.Array:
     """x (..., d_in) float, w_q8 (d_in, d_out) int8, w_scale (1, d_out).
 
     Dynamic symmetric per-row activation quantization (bnb's vector-wise
     scheme), int8 dot with int32 accumulation, rescale: the row scale and
-    the channel scale both factor out of the integer matmul exactly."""
+    the channel scale both factor out of the integer matmul exactly.
+
+    With _INT8_OUTLIER_COLS = k > 0, the k input features with the largest
+    |activation| across the batch are removed from the int8 operand (their
+    magnitude would otherwise set the per-row scale and crush the int8
+    resolution of every inlier in that row) and contribute exactly through
+    a (..., k) x (k, d_out) float matmul against the dequantized weight
+    rows — the decomposition is exact up to the int8 rounding of the
+    inlier part."""
     x32 = x.astype(jnp.float32)
+    k = _INT8_OUTLIER_COLS
+    d_in = x32.shape[-1]
+    y_out = None
+    if k > 0:
+        k = min(k, d_in)
+        col_amax = jnp.max(jnp.abs(x32.reshape(-1, d_in)), axis=0)
+        _, idx = jax.lax.top_k(col_amax, k)                      # (k,)
+        x_outl = jnp.take(x32, idx, axis=-1)                     # (..., k)
+        w_outl = (jnp.take(w_q8, idx, axis=0).astype(jnp.float32)
+                  * w_scale.reshape(1, -1).astype(jnp.float32))  # (k, d_out)
+        y_out = jax.lax.dot_general(
+            x_outl, w_outl, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        keep = jnp.ones((d_in,), jnp.float32).at[idx].set(0.0)
+        x32 = x32 * keep
     amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
     xs = jnp.maximum(amax, 1e-8) / 127.0
     x8 = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
     y32 = jax.lax.dot_general(x8, w_q8, (((x.ndim - 1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     y = y32.astype(jnp.float32) * xs * w_scale.reshape(-1).astype(jnp.float32)
+    if y_out is not None:
+        y = y + y_out
     return y.astype(x.dtype)
 
 

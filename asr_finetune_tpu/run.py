@@ -99,6 +99,8 @@ def build_model(args, hp: Optional[Dict[str, Any]] = None) -> BuiltModel:
             from .ops import quant
             params = quant.quantize_tree_int8(params)
             quant.set_int8_compute(getattr(args, "int8_matmul", False))
+            quant.set_int8_outlier_cols(
+                getattr(args, "int8_outlier_cols", 0))
         else:
             params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     return BuiltModel(cfg, params, adapters, tokenizer, suppress,

@@ -95,6 +95,52 @@ def test_int8_matmul_gradient_is_dequant_backward():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_int8_matmul_outlier_decomposition_recovers_accuracy():
+    """Fixed-k outlier decomposition (quant.set_int8_outlier_cols — the
+    jit-friendly form of bnb LLM.int8()'s fp16 outlier columns,
+    trainers.py:499-507 load_in_8bit): activation outliers in a few
+    features crush the per-row int8 scale; routing the top-k features
+    through the float side-matmul recovers near-inlier accuracy."""
+    from asr_finetune_tpu.ops import quant
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 16, 128)).astype(np.float32)
+    x[..., [5, 77, 120]] *= 60.0  # LLM.int8()-style emergent outlier features
+    x = jnp.asarray(x)
+    w = jnp.asarray((rng.standard_normal((128, 256)) * 0.05).astype(np.float32))
+    q = quant.quantize_weight(w)
+    ref = x @ quant.dequantize_weight(q, jnp.float32)
+
+    def rel_err(out):
+        return float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+
+    plain = rel_err(quant.int8_matmul(x, q["w_q8"], q["w_scale"]))
+    try:
+        quant.set_int8_outlier_cols(4)
+        # jit to prove the top_k/gather/scatter path traces with static shapes
+        decomposed = rel_err(jax.jit(quant.int8_matmul)(
+            x, q["w_q8"], q["w_scale"]))
+
+        # gradient path is unchanged: dx still flows through the full
+        # dequantized weight (decomposition is forward-only)
+        dy = jnp.asarray(rng.standard_normal((4, 16, 256)).astype(np.float32))
+        dx = jax.grad(lambda a: jnp.sum(
+            quant.int8_matmul(a, q["w_q8"], q["w_scale"]) * dy))(x)
+        np.testing.assert_allclose(
+            np.asarray(dx),
+            np.asarray(dy @ quant.dequantize_weight(q, jnp.float32).T),
+            rtol=1e-4, atol=1e-4)
+    finally:
+        quant.set_int8_outlier_cols(0)
+
+    # outliers really did degrade plain W8A8 (2% here, vs <0.1% on the
+    # well-scaled activations above), and decomposition wins it back ~30x
+    assert plain > 0.01, plain
+    assert decomposed < plain / 10, (plain, decomposed)
+    assert decomposed < 0.002, (plain, decomposed)
+    # k=0 (default) is exactly the plain path
+    assert rel_err(quant.int8_matmul(x, q["w_q8"], q["w_scale"])) == plain
+
+
 def test_dense_int8_compute_toggle():
     """dense() uses the W8A8 path only while the global toggle is on."""
     from asr_finetune_tpu.ops import quant
