@@ -132,7 +132,36 @@ def measure(lora_targets: str):
     }
 
 
+def _init_backend_or_die(timeout_s: int = 600) -> None:
+    """Fail fast (clear stderr + nonzero exit) if the TPU backend hangs.
+
+    The axon PJRT plugin blocks indefinitely INSIDE backend init when its
+    relay tunnel is wedged (observed 2026-08-17: jax.devices() never
+    returns and never raises — a C-level block, so an in-process SIGALRM
+    handler would never run either). Probe init in a subprocess with a
+    hard timeout; only on success initialize in-process. Turns a silent
+    multi-hour hang into a diagnosable failure so the driver's bench
+    record shows WHY there is no number."""
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"bench.py: TPU backend init hung for {timeout_s}s — axon "
+            "tunnel unavailable; no benchmark number can be measured")
+    except subprocess.CalledProcessError as e:
+        raise SystemExit(
+            f"bench.py: TPU backend init failed (rc={e.returncode}) — "
+            "see the probe's stderr by running "
+            "`python -c 'import jax; jax.devices()'` directly")
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+
 def main():
+    _init_backend_or_die()
     result = measure(LORA_TARGETS)
     # the decoder-only placement is the round-2 configuration; keep it as a
     # secondary line so the lighter-workload number stays visible next to

@@ -158,3 +158,13 @@ def test_dense_int8_compute_toggle():
         quant.set_int8_compute(False)
     rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert 0.0 < rel < 0.01, rel
+    # composes with outlier decomposition: dense() reads both globals
+    try:
+        quant.set_int8_compute(True)
+        quant.set_int8_outlier_cols(4)
+        out2 = np.asarray(dense(x, p))
+    finally:
+        quant.set_int8_compute(False)
+        quant.set_int8_outlier_cols(0)
+    rel2 = np.linalg.norm(out2 - ref) / np.linalg.norm(ref)
+    assert 0.0 < rel2 < 0.01, rel2
