@@ -184,36 +184,59 @@ def device_prefetch(it: Iterator[Dict[str, np.ndarray]],
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
 
     def produce():
+        # put() with a timeout + stop poll: an abandoned consumer must not
+        # leave this thread parked forever in q.put — a frozen daemon
+        # thread mid-HDF5-read deadlocks h5py's atexit file close (C-level
+        # hang at interpreter shutdown, no Python frame; seen 2026-08-18
+        # via bench_dataloader)
         try:
             for b in it:
-                q.put(b)
+                while not stop.is_set():
+                    try:
+                        q.put(b, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         finally:
-            q.put(_END)
+            while not stop.is_set():
+                try:
+                    q.put(_END, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
 
     multihost = jax.process_count() > 1
 
-    while True:
-        b = q.get()
-        if b is _END:
-            return
-        if multihost and sharding is not None:
-            # each process feeds its local shard of the global batch
-            yield make_global_batch(b, sharding, accum_steps)
-            continue
-        out: Dict[str, Any] = {}
-        for k, v in b.items():
-            if k in NON_DEVICE_KEYS:
-                out[k] = v
+    try:
+        while True:
+            b = q.get()
+            if b is _END:
+                return
+            if multihost and sharding is not None:
+                # each process feeds its local shard of the global batch
+                yield make_global_batch(b, sharding, accum_steps)
                 continue
-            if accum_steps > 1:
-                B = v.shape[0]
-                assert B % accum_steps == 0, (B, accum_steps)
-                v = v.reshape((accum_steps, B // accum_steps) + v.shape[1:])
-            out[k] = jax.device_put(v, sharding) if sharding is not None \
-                else jax.device_put(v)
-        yield out
+            out: Dict[str, Any] = {}
+            for k, v in b.items():
+                if k in NON_DEVICE_KEYS:
+                    out[k] = v
+                    continue
+                if accum_steps > 1:
+                    B = v.shape[0]
+                    assert B % accum_steps == 0, (B, accum_steps)
+                    v = v.reshape((accum_steps, B // accum_steps) + v.shape[1:])
+                out[k] = jax.device_put(v, sharding) if sharding is not None \
+                    else jax.device_put(v)
+            yield out
+    finally:
+        # generator close (explicit, GC, or shutdown) releases the producer
+        stop.set()
+        t.join(timeout=5.0)

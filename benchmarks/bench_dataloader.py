@@ -45,6 +45,7 @@ def run_cell(h5_path: str, features: str, prefetch: int, batch_size: int,
         b = next(it)
         n += b["labels"].shape[0]
     dt = time.perf_counter() - t0
+    it.close()  # stop the prefetch thread before the next cell / exit
     return {"features": features, "prefetch": prefetch,
             "batch_size": batch_size, "batches": batches,
             "samples_per_sec": round(n / dt, 2)}

@@ -1,5 +1,7 @@
 """Data layer: HDF5 roundtrip, collator semantics (-100 masking, sot strip,
 shift), deterministic sharding, parquet materialization parity."""
+import time
+
 import numpy as np
 import pytest
 
@@ -120,3 +122,28 @@ def test_parquet_materialize_roundtrip(h5_path, tmp_path):
     hn = (hl != IGNORE_ID).sum()
     np.testing.assert_array_equal(batch["labels"][0][:hn], hl[:hn])
     assert (batch["labels"][0][hn:] == IGNORE_ID).all()
+
+
+def test_device_prefetch_abandoned_iterator_stops_producer(h5_path):
+    """Closing (or abandoning) a device_prefetch iterator must stop its
+    producer thread: a daemon thread frozen mid-HDF5-read at interpreter
+    shutdown deadlocks h5py's atexit file close (C-level hang, observed
+    2026-08-18 via bench_dataloader exiting with rc=124)."""
+    import threading
+    from asr_finetune_tpu.data.pipeline import device_prefetch
+
+    reader = Hdf5AudioReader(h5_path)
+    tok = ByteFallbackTokenizer()
+    col = Collator(tok, CollatorConfig(features="audio"))
+    sampler = IndexSampler(len(reader), 4, seed=0)
+    pipe = DataPipeline(reader, col, sampler, telemetry_every=0)
+
+    before = threading.active_count()
+    it = device_prefetch(pipe.iter_from_step(0), sharding=None, size=2)
+    next(it)  # producer running, queue filling
+    assert threading.active_count() == before + 1
+    it.close()  # consumer walks away mid-stream
+    deadline = time.time() + 10.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() == before, "producer thread leaked"
