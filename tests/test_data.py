@@ -146,4 +146,4 @@ def test_device_prefetch_abandoned_iterator_stops_producer(h5_path):
     deadline = time.time() + 10.0
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
-    assert threading.active_count() == before, "producer thread leaked"
+    assert threading.active_count() <= before, "producer thread leaked"
