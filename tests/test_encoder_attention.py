@@ -113,3 +113,37 @@ def test_dispatch_prefers_dense_then_falls_back(monkeypatch):
     except Exception:
         pass  # upstream flash may reject on CPU; dispatch mattered, not result
     assert "dense" not in calls
+
+
+def test_packed_layout_matches_transpose_layout(monkeypatch):
+    """The packed (B, T, H*hd) kernels and the (BH, T, hd) transpose-layout
+    kernels must agree exactly on forward and grads — same math, different
+    block walk. H=4, hd=64 picks the g=4 packed grouping."""
+    q, k, v = _qkv(np.random.default_rng(6), B=2, Tq=150, Tk=150, H=4)
+
+    def run(packed):
+        monkeypatch.setenv("ASR_TPU_DENSE_PACKED", "1" if packed else "0")
+
+        def loss(q, k, v):
+            return jnp.sum(encoder_attention(q, k, v, interpret=True) ** 2)
+
+        out = encoder_attention(q, k, v, interpret=True)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        return out, grads
+
+    out_p, g_p = run(True)
+    out_t, g_t = run(False)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_t))
+    for name, a, b in zip("qkv", g_p, g_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=f"d{name}")
+
+
+def test_packed_grouping_rules():
+    """_group_packed: lane width must be a 128 multiple and divide H."""
+    from asr_finetune_tpu.ops.encoder_attention import _group_packed
+    assert _group_packed(20, 64, 1536, 1536) == 4   # large-v3
+    assert _group_packed(6, 64, 256, 256) == 2      # tiny
+    assert _group_packed(5, 64, 256, 256) is None   # odd heads -> fallback
+    assert _group_packed(4, 32, 256, 256) == 4      # 4*32 = 128 lanes
+    assert _group_packed(1, 64, 256, 256) is None   # 64 lanes misaligned

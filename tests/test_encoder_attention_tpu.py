@@ -67,3 +67,18 @@ def test_dense_backward_compiled():
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=5e-2, atol=0.5, err_msg=f"d{name}")
+
+
+def test_packed_vs_transpose_compiled(monkeypatch):
+    """Both block layouts, compiled on the real chip, must agree exactly
+    (same kernel math, different walk) at the large-v3 encoder shape."""
+    q, k, v = _qkv(2, 1500, 20, 64, seed=11)
+    bf = lambda x: x.astype(jnp.bfloat16)
+
+    def run(packed):
+        monkeypatch.setenv("ASR_TPU_DENSE_PACKED", "1" if packed else "0")
+        return jax.jit(lambda a, b, c: encoder_attention(
+            a, b, c, interpret=False))(bf(q), bf(k), bf(v))
+
+    np.testing.assert_array_equal(
+        np.asarray(run(True), np.float32), np.asarray(run(False), np.float32))
