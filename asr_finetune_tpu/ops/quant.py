@@ -20,10 +20,24 @@ refuses grads through int8 layers).
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _fused_w8a8_enabled() -> bool:
+    """Opt-in: the fused kernel wins its microbenchmark on the MLP shapes
+    (1.15-1.18x, benchmarks/bench_w8a8_fused.py) but measured NEGATIVE
+    end-to-end on the parity trial (13.51 vs 14.01 utt/s/chip, same
+    session A/B) — in context XLA overlaps the standalone quant pass with
+    neighboring work and reuses the int8 activations across the
+    custom_vjp boundary, neither of which the fused schedule can do. Kept
+    as an opt-in (ASR_TPU_FUSED_W8A8=1) per-shape tool."""
+    return os.environ.get("ASR_TPU_FUSED_W8A8", "0").lower() not in (
+        "0", "false", "no", "off")
 
 Params = Dict[str, Any]
 
@@ -127,7 +141,23 @@ def _w8a8_impl(x: jax.Array, w_q8: jax.Array, w_scale: jax.Array) -> jax.Array:
     resolution of every inlier in that row) and contribute exactly through
     a (..., k) x (k, d_out) float matmul against the dequantized weight
     rows — the decomposition is exact up to the int8 rounding of the
-    inlier part."""
+    inlier part.
+
+    Dispatch: with ASR_TPU_FUSED_W8A8=1 (opt-in, default OFF — see
+    _fused_w8a8_enabled for the measured e2e regression) and no outlier
+    decomposition, MLP-class shapes go through the fused Pallas kernel
+    (ops/w8a8_fused.py — quant prologue + s8xs8 dot + dequant epilogue
+    in one kernel, no int8 HBM round-trip). Attention-projection shapes
+    and the outlier path always stay on this XLA formulation."""
+    if _INT8_OUTLIER_COLS == 0 and _fused_w8a8_enabled():
+        from . import w8a8_fused
+        k_in, n_out = x.shape[-1], w_q8.shape[-1]
+        m = int(np.prod(x.shape[:-1]))
+        mt = w8a8_fused.pick_mt(m, k_in, n_out)
+        if mt is not None:
+            y2 = w8a8_fused.fused_w8a8(x.reshape(m, k_in), w_q8,
+                                       w_scale, mt=mt)
+            return y2.reshape(*x.shape[:-1], n_out)
     x32 = x.astype(jnp.float32)
     k = _INT8_OUTLIER_COLS
     d_in = x32.shape[-1]

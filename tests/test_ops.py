@@ -168,3 +168,43 @@ def test_dense_int8_compute_toggle():
         quant.set_int8_outlier_cols(0)
     rel2 = np.linalg.norm(out2 - ref) / np.linalg.norm(ref)
     assert 0.0 < rel2 < 0.01, rel2
+
+
+def test_fused_w8a8_matches_xla_formulation():
+    """ops/w8a8_fused.fused_w8a8 (quant prologue + s8xs8 dot + dequant
+    epilogue in one Pallas kernel) computes bit-identically to the XLA
+    formulation in ops/quant._w8a8_impl — same f32 per-row scales, same
+    int8 rounding, same epilogue order. Interpret mode on CPU; the TPU
+    compile is exercised by bench.py's --int8_matmul headline config."""
+    import os
+    from asr_finetune_tpu.ops import quant, w8a8_fused
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((48, 128)).astype(np.float32) * 0.5,
+                    jnp.bfloat16)
+    w = jnp.asarray((rng.standard_normal((128, 256)) * 0.05).astype(np.float32))
+    q = quant.quantize_weight(w)
+    os.environ["ASR_TPU_FUSED_W8A8"] = "0"
+    try:
+        ref = quant._w8a8_impl(x, q["w_q8"], q["w_scale"])
+    finally:
+        os.environ.pop("ASR_TPU_FUSED_W8A8")
+    out = w8a8_fused.fused_w8a8(x, q["w_q8"], q["w_scale"], mt=8,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                  np.asarray(out, np.float32))
+
+
+def test_fused_w8a8_dispatch_boundary():
+    """Under ASR_TPU_FUSED_W8A8=1 (opt-in; default off after the fused
+    kernel measured -3.5% e2e — see ops/w8a8_fused.py), _w8a8_impl routes
+    the MLP shapes where the kernel measured ahead in isolation (see
+    pick_mt) to Pallas and keeps attention-projection shapes, decoder-m
+    fc1, and the outlier path on the XLA formulation."""
+    from asr_finetune_tpu.ops import w8a8_fused
+    assert w8a8_fused.pick_mt(12000, 1280, 5120) == 1200  # encoder fc1
+    assert w8a8_fused.pick_mt(12000, 5120, 1280) == 480   # encoder fc2
+    assert w8a8_fused.pick_mt(3584, 5120, 1280) == 448    # decoder fc2
+    assert w8a8_fused.pick_mt(3584, 1280, 5120) is None   # decoder fc1: XLA
+    assert w8a8_fused.pick_mt(12000, 1280, 3840) is None  # qkv
+    assert w8a8_fused.pick_mt(12000, 1280, 1280) is None  # o proj
+    assert w8a8_fused.pick_mt(7, 5120, 1280) is None      # indivisible m
