@@ -347,21 +347,33 @@ def _packed_default() -> bool:
         "0", "false", "no", "off")
 
 
+def _native_t_default() -> bool:
+    import os
+    return os.environ.get("ASR_TPU_DENSE_NATIVE_T", "1").lower() not in (
+        "0", "false", "no", "off")
+
+
 def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       interpret: Optional[bool] = None,
                       save_tag: Optional[str] = None) -> jax.Array:
-    """(B, Tq, H, hd) non-causal attention; Tk zero-padded to a lane
-    multiple with in-kernel masking. Drop-in for ops/attention.attention
-    on the encoder/cross shapes.
+    """(B, Tq, H, hd) non-causal attention. Drop-in for
+    ops/attention.attention on the encoder/cross shapes.
 
     Layout: when the head grouping divides evenly (all released Whisper
     shapes), the packed kernels read the projections' native (B, T, H*hd)
-    layout — no per-layer transpose, only a contiguous row pad. Otherwise
+    layout — no per-layer transpose, and (default) no row padding either:
+    Mosaic tiles non-8/128-aligned T internally, so the kernel takes
+    Tq/Tk as-is. Measured on v5e at the large-v3 encoder shape
+    (B8 T1500): native-T is bit-identical to the padded form and faster
+    (fwd 2.36 vs 2.61 ms, fwd+bwd 5.83 vs 6.12 incl. prep) — it deletes
+    the per-layer XLA pad fusions (~1.5 ms/step each, 6 instances in the
+    traced parity step) and shrinks the enc_qkv save-point traffic 2.4%.
+    ASR_TPU_DENSE_NATIVE_T=0 restores the 128-aligned row pad. Otherwise
     falls back to the (BH, T, hd) transpose layout.
 
     save_tag marks the PREPPED tensors as remat save points: they are the
     kernel VJP's exact residuals, so a layer-remat'd backward neither
-    re-runs the kernel nor re-does the pad/relayout prep."""
+    re-runs the kernel nor re-does the relayout prep."""
     B, Tq, H, hd = q.shape
     Tk = k.shape[1]
     Tq_p, Tk_p = _round_up(Tq, 128), _round_up(Tk, 128)
@@ -373,6 +385,10 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         return x
 
     if _group_packed(H, hd, Tq_p, Tk_p) and _packed_default():
+        if _native_t_default():
+            # native-T only on the packed path; the (BH, T, hd) fallback
+            # keeps 128-aligned rows (its specs were tuned there)
+            Tq_p, Tk_p = Tq, Tk
         def prep_p(x, T_p):
             x = x.reshape(B, x.shape[1], H * hd)           # free
             if x.shape[1] != T_p:

@@ -121,6 +121,11 @@ def test_packed_layout_matches_transpose_layout(monkeypatch):
     block walk. H=4, hd=64 picks the g=4 packed grouping."""
     q, k, v = _qkv(np.random.default_rng(6), B=2, Tq=150, Tk=150, H=4)
 
+    # pin the 128-aligned row pad: bit-exactness across layouts requires
+    # identical reduction lengths (native-T reduces over 150, the padded
+    # kernels over 256-with-zeros — a 1-ulp accumulation-order delta)
+    monkeypatch.setenv("ASR_TPU_DENSE_NATIVE_T", "0")
+
     def run(packed):
         monkeypatch.setenv("ASR_TPU_DENSE_PACKED", "1" if packed else "0")
 
@@ -137,6 +142,34 @@ def test_packed_layout_matches_transpose_layout(monkeypatch):
     for name, a, b in zip("qkv", g_p, g_t):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6, err_msg=f"d{name}")
+
+
+def test_native_t_matches_padded(monkeypatch):
+    """The native-T packed path (no XLA row pad; Mosaic tiles the odd T
+    internally) must agree with the 128-aligned padded form to float
+    accumulation-order tolerance, forward and grads. On TPU the two
+    measured bit-identical at the large-v3 shape (benchmarks)."""
+    q, k, v = _qkv(np.random.default_rng(7), B=2, Tq=150, Tk=150, H=4)
+    monkeypatch.setenv("ASR_TPU_DENSE_PACKED", "1")
+
+    def run(native):
+        monkeypatch.setenv("ASR_TPU_DENSE_NATIVE_T", "1" if native else "0")
+
+        def loss(q, k, v):
+            return jnp.sum(encoder_attention(q, k, v, interpret=True) ** 2)
+
+        out = encoder_attention(q, k, v, interpret=True)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        return out, grads
+
+    out_n, g_n = run(True)
+    out_f, g_f = run(False)
+    assert out_n.shape == out_f.shape
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_f),
+                               rtol=2e-6, atol=2e-6)
+    for name, a, b in zip("qkv", g_n, g_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-6, err_msg=f"d{name}")
 
 
 def test_packed_grouping_rules():
