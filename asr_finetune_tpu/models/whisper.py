@@ -234,6 +234,26 @@ def _base_matmul_multi(x: jax.Array, ps: tuple) -> list:
     return outs
 
 
+def _lora_dropped_input(x: jax.Array, rate: float,
+                        rng: Optional[jax.Array]) -> jax.Array:
+    """lora_dropout on the ADAPTER INPUT (peft semantics; the frozen base
+    path never sees dropout). Hardware RNG (lax.rng_bit_generator)
+    instead of threefry bernoulli: the per-site threefry masks measurably
+    cost 10% of the large-v3 LoRA step (37 ms) on v5e; the uint32
+    threshold gives P(keep) = 1 - rate to within 2^-32.
+    REPRODUCIBILITY: the DEFAULT algorithm's bit stream is
+    backend-dependent, so dropout masks are deterministic per backend but
+    not identical across TPU/CPU; the loss/WER statistics are seed-stable
+    either way. Pin RandomAlgorithm.RNG_THREE_FRY here if cross-backend
+    bit-parity ever matters more than the 10% step-time win."""
+    if rng is None or rate <= 0.0:
+        return x
+    key4 = jnp.concatenate([rng, rng]).astype(jnp.uint32)
+    _, bits = jax.lax.rng_bit_generator(key4, x.shape, jnp.uint32)
+    thresh = np.uint32(round(rate * 4294967296.0))
+    return jnp.where(bits >= thresh, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
 def _lora_delta(x: jax.Array, lora: Params, dropout_rate: float,
                 dropout_rng: Optional[jax.Array]) -> jax.Array:
     """Low-rank adapter delta scaling * ((drop(x)@a)*e) @ b.
@@ -242,28 +262,11 @@ def _lora_delta(x: jax.Array, lora: Params, dropout_rate: float,
     "b": (r, d_out), "scaling": ()} — plain LoRA with e == 1, AdaLoRA's
     SVD form otherwise. When a dropout rng is given (training), the
     ADAPTER INPUT is dropped out, matching peft's lora_dropout (reference
-    trains with lora_dropout=0.05, trainers.py:527); the frozen base path
-    never sees dropout."""
+    trains with lora_dropout=0.05, trainers.py:527)."""
     a = lora["a"].astype(x.dtype)
     b = lora["b"].astype(x.dtype)
     e = lora["e"].astype(x.dtype)
-    xa = x
-    if dropout_rng is not None and dropout_rate > 0.0:
-        # hardware RNG (lax.rng_bit_generator) instead of threefry
-        # bernoulli: the per-site threefry masks measurably cost 10%
-        # of the large-v3 LoRA step (37 ms) on v5e; the uint32
-        # threshold gives P(keep) = 1 - rate to within 2^-32.
-        # REPRODUCIBILITY: the DEFAULT algorithm's bit stream is
-        # backend-dependent, so dropout masks are deterministic per
-        # backend but not identical across TPU/CPU; the loss/WER
-        # statistics are seed-stable either way. Pin
-        # RandomAlgorithm.RNG_THREE_FRY here if cross-backend
-        # bit-parity ever matters more than the 10% step-time win.
-        key4 = jnp.concatenate([dropout_rng, dropout_rng]).astype(jnp.uint32)
-        _, bits = jax.lax.rng_bit_generator(key4, x.shape, jnp.uint32)
-        thresh = np.uint32(round(dropout_rate * 4294967296.0))
-        xa = jnp.where(bits >= thresh, x / (1.0 - dropout_rate),
-                       0.0).astype(x.dtype)
+    xa = _lora_dropped_input(x, dropout_rate, dropout_rng)
     return ((xa @ a) * e) @ b * lora["scaling"].astype(x.dtype)
 
 
@@ -370,6 +373,125 @@ def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Array:
     return y + b.astype(acc)
 
 
+def _fuse_qkv_weights(attn: Params) -> Params:
+    """Concatenate the (layer-stacked) q/k/v projection weights into ONE
+    wide (L, d, 3d) projection, built OUTSIDE the layer scan so the
+    concat costs one pass over the frozen weights per step (~0.4 ms at
+    large-v3 int8) instead of per-layer copies — the per-layer weight
+    concat is why the earlier in-scan qkv fusion measured -4% (see the
+    NOTE in mha). k_proj carries no bias in Whisper (HF
+    modeling_whisper.WhisperAttention k_proj bias=False): its slot in the
+    fused bias is zeros."""
+    ps = [attn["q"], attn["k"], attn["v"]]
+    fused: Params = {}
+    if all("w_q8" in p for p in ps):
+        fused["w_q8"] = jnp.concatenate([p["w_q8"] for p in ps], axis=-1)
+        fused["w_scale"] = jnp.concatenate([p["w_scale"] for p in ps],
+                                           axis=-1)
+    else:
+        fused["w"] = jnp.concatenate([p["w"] for p in ps], axis=-1)
+    if any("b" in p for p in ps):
+        ref = next(p["b"] for p in ps if "b" in p)
+        fused["b"] = jnp.concatenate(
+            [p["b"] if "b" in p else jnp.zeros_like(ref) for p in ps],
+            axis=-1)
+    return fused
+
+
+def _lora_delta_qkv(x: jax.Array, lora: Params, d: int, rate: float,
+                    rngs: tuple) -> jax.Array:
+    """Q/V low-rank deltas emitted directly in the fused (B, T, 3d) qkv
+    layout as ONE block matmul: delta = [xa_q@Aq*eq | xa_v@Av*ev] @ B'
+    where B' stacks Bq*scale into columns 0:d and Bv*scale into 2d:3d.
+    k's block (and each adapter's foreign block) is structurally zero, so
+    the extra accumulation terms are exact zeros — the result matches the
+    per-adapter deltas bar the scale-fold rounding (scaling folded into
+    B' instead of applied after the matmul)."""
+    xs, bs = [], []
+    for name, off, rng in (("q", 0, rngs[0]), ("v", 2, rngs[1])):
+        la = lora.get(name)
+        if la is None:
+            continue
+        a = la["a"].astype(x.dtype)
+        e = la["e"].astype(x.dtype)
+        b = (la["b"] * la["scaling"]).astype(x.dtype)
+        xa = _lora_dropped_input(x, rate, rng)
+        xs.append((xa @ a) * e)
+        wide = jnp.zeros((b.shape[0], 3 * d), b.dtype)
+        bs.append(jax.lax.dynamic_update_slice(wide, b, (0, off * d)))
+    if not xs:
+        return jnp.zeros((), x.dtype)
+    if len(xs) == 1:
+        return xs[0] @ bs[0]
+    return jnp.concatenate(xs, axis=-1) @ jnp.concatenate(bs, axis=0)
+
+
+def _mha_fused_qkv(x: jax.Array, p: Params, fw: Params, heads: int,
+                   lora: Optional[Params] = None,
+                   lora_dropout: float = 0.0,
+                   dropout_rng: Optional[jax.Array] = None,
+                   save_tag: Optional[str] = None) -> jax.Array:
+    """Encoder self-attention with the q/k/v projections fused into ONE
+    wide matmul whose (B, T, 3d) output feeds the packed dense kernel
+    directly (ops/encoder_attention.dense_attention_qkv).
+
+    Measured wins vs three projections + the packed kernel (v5e,
+    large-v3 parity step): the wide int8 matmul runs at a higher MXU
+    rate than three narrow ones AND quantizes the shared activation
+    once; the remat save point ("enc_qkv") becomes ONE coalesced
+    (B, T, 3d) buffer; the backward's three dx matmuls collapse into
+    one wide GEMM. The per-layer weight concat that sank the earlier
+    in-scan fusion attempt is hoisted to _fuse_qkv_weights (per step)."""
+    d = x.shape[-1]
+    y = _base_matmul_multi(x, (fw,))[0]                     # (B, T, 3d)
+    if lora is not None and ("q" in lora or "v" in lora):
+        rq = rv = None
+        if dropout_rng is not None and lora_dropout > 0.0:
+            rq, rv = jax.random.split(dropout_rng)
+        y = y + _lora_delta_qkv(x, lora, d, lora_dropout, (rq, rv))
+    if "b" in fw:
+        y = y + fw["b"].astype(x.dtype)
+    y = _named(y, save_tag)
+    from ..ops.encoder_attention import dense_attention_qkv
+    out = dense_attention_qkv(y, d // heads)
+    return dense(out, p["o"])
+
+
+def _fused_qkv_ok(cfg: WhisperConfig, T: int, impl: str) -> bool:
+    """Gate for the fused-qkv encoder path — OPT-IN (default off).
+
+    Measured on v5e at the large-v3 parity config (bs 8, int8 base,
+    enc+dec adapters): the fused wide projection + single-buffer save is
+    NEUTRAL-TO-NEGATIVE end-to-end (-2.5% on an interleaved bench pair,
+    +1.5% on isolated encoder fwd+bwd stages) — the same lesson as the
+    fused W8A8 kernel (ops/w8a8_fused.py): XLA already overlaps the
+    per-projection activation-quant passes and fuses the save-point
+    writes into the producers, while the backward pays a real
+    dq/dk/dv concatenate for the single wide dx matmul. Kept as an
+    opt-in for shapes/configs where the trade may differ.
+
+    ASR_TPU_FUSED_QKV=auto engages it exactly where the dispatch would
+    pick the packed dense kernel (TPU backend, impl auto/dense,
+    supported shape); =1 forces it (CPU interpret-mode tests);
+    unset/=0 disables."""
+    import os
+    mode = os.environ.get("ASR_TPU_FUSED_QKV", "0").lower()
+    if mode in ("0", "false", "no", "off"):
+        return False
+    hd = cfg.d_model // cfg.encoder_heads
+    if cfg.encoder_heads * hd != cfg.d_model:
+        return False
+    from ..ops.encoder_attention import fused_qkv_supported
+    if not fused_qkv_supported(cfg.encoder_heads, hd, T):
+        return False
+    if mode in ("1", "true", "yes", "on", "force"):
+        return True
+    if impl not in ("auto", "dense"):
+        return False
+    from ..ops.attention import _flash_available
+    return _flash_available()
+
+
 def encode(params: Params, mel: jax.Array, cfg: WhisperConfig,
            adapters: Optional[Params] = None,
            compute_dtype: jnp.dtype = jnp.bfloat16,
@@ -388,13 +510,25 @@ def encode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     drop = (enc_adapters is not None and dropout_rng is not None
             and lora_dropout > 0.0)
 
+    layers = enc["layers"]
+    if _fused_qkv_ok(cfg, x.shape[1], attn_impl):
+        # fused wide qkv projection: weight concat hoisted out of the scan
+        layers = dict(layers, attn_qkv=_fuse_qkv_weights(layers["attn"]))
+
     def layer(x, xs):
         lp, la, rng = xs
         h = layer_norm(x, lp["ln1"])
-        x = _mid(x + mha(h, h, lp["attn"], cfg.encoder_heads, lora=la,
-                         impl=attn_impl,
-                         lora_dropout=lora_dropout if drop else 0.0,
-                         dropout_rng=rng, save_tag="enc_qkv"))
+        if "attn_qkv" in lp:
+            a = _mha_fused_qkv(h, lp["attn"], lp["attn_qkv"],
+                               cfg.encoder_heads, lora=la,
+                               lora_dropout=lora_dropout if drop else 0.0,
+                               dropout_rng=rng, save_tag="enc_qkv")
+        else:
+            a = mha(h, h, lp["attn"], cfg.encoder_heads, lora=la,
+                    impl=attn_impl,
+                    lora_dropout=lora_dropout if drop else 0.0,
+                    dropout_rng=rng, save_tag="enc_qkv")
+        x = _mid(x + a)
         h = layer_norm(x, lp["ln2"])
         x = x + mlp_block(h, lp["mlp"], save_tag="enc_mlp_h")
         return x, None
@@ -403,13 +537,13 @@ def encode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     if enc_adapters is None:
         # scan can't mix None xs with real ones; use a two-arg closure instead
         body2 = (lambda c, lp: body(c, (lp, None, None)))
-        x, _ = jax.lax.scan(body2, x, enc["layers"])
+        x, _ = jax.lax.scan(body2, x, layers)
     elif drop:
         keys = jax.random.split(dropout_rng, cfg.encoder_layers)
-        x, _ = jax.lax.scan(body, x, (enc["layers"], enc_adapters, keys))
+        x, _ = jax.lax.scan(body, x, (layers, enc_adapters, keys))
     else:
         body2 = (lambda c, xs2: body(c, (xs2[0], xs2[1], None)))
-        x, _ = jax.lax.scan(body2, x, (enc["layers"], enc_adapters))
+        x, _ = jax.lax.scan(body2, x, (layers, enc_adapters))
     return layer_norm(x, enc["ln_post"])
 
 

@@ -408,3 +408,102 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           Tk, interpret)
     out = out.reshape(B, H, Tq_p, hd).transpose(0, 2, 1, 3)
     return out[:, :Tq]
+
+
+# ---------------------------------------------------------------------------
+# fused-QKV variant: q, k and v arrive as ONE (B, T, 3*H*hd) tensor
+# ---------------------------------------------------------------------------
+# The encoder's fused qkv projection (models/whisper._mha_fused_qkv) emits
+# q/k/v as a single wide-matmul output. These wrappers feed that buffer to
+# the UNCHANGED packed kernels by passing it three times with lane-block
+# index maps offset to the q/k/v sections — each program still sees the
+# same (1, T, G*hd) blocks as the three-tensor form, so the layer needs no
+# slice or relayout between the projection and the attention, and the remat
+# save point is ONE coalesced (B, T, 3D) buffer instead of three. The VJP
+# returns the cotangent in the same packed layout (one concatenate feeding
+# the single wide dx matmul of the fused projection's backward).
+
+
+def _spec_off(T: int, lanes: int, off: int):
+    return pl.BlockSpec((1, T, lanes), lambda b, h, off=off: (b, 0, off + h),
+                        memory_space=pltpu.VMEM)
+
+
+def fused_qkv_supported(H: int, hd: int, T: int) -> bool:
+    """True when the packed kernels can consume a fused (B, T, 3*H*hd)
+    qkv tensor at this shape (lane-aligned head grouping exists for both
+    the fwd and the stricter bwd VMEM budget, and the f32 whole-row tile
+    fits — mirrors ops/attention.attention's use_dense bound)."""
+    T_p = _round_up(T, 128)
+    return (T >= 128 and _group_packed(H, hd, T, T, cap=2) is not None
+            and _packed_default() and _native_t_default()
+            and 3 * T_p * T_p * 4 <= 48 * 1024 * 1024)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def dense_attention_qkv(qkv: jax.Array, hd: int,
+                        interpret: Optional[bool] = None) -> jax.Array:
+    """Self-attention over a fused (B, T, 3*H*hd) qkv tensor (all rows
+    valid — the encoder's unmasked T). Returns (B, T, H*hd) packed."""
+    out, _ = _fwd_qkv(qkv, hd, interpret)
+    return out
+
+
+def _fwd_qkv(qkv, hd, interpret):
+    if interpret is None:
+        interpret = _interpret_default()
+    B, T, D3 = qkv.shape
+    D = D3 // 3
+    H = D // hd
+    scale = hd ** -0.5
+    g = _group_packed(H, hd, T, T)
+    nb = H // g
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, scale=scale, s_valid=T,
+                          Tk=T, hd=hd),
+        out_shape=jax.ShapeDtypeStruct((B, T, D), qkv.dtype),
+        grid=(B, nb),
+        in_specs=[_spec_off(T, g * hd, 0), _spec_off(T, g * hd, nb),
+                  _spec_off(T, g * hd, 2 * nb)],
+        out_specs=_specs_packed(1, T, g * hd)[0],
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * T * T * hd,
+            bytes_accessed=B * H * 4 * T * hd * qkv.dtype.itemsize,
+            transcendentals=B * H * T * T),
+    )(qkv, qkv, qkv)
+    return out, (qkv,)
+
+
+def _bwd_qkv(hd, interpret, res, do):
+    (qkv,) = res
+    if interpret is None:
+        interpret = _interpret_default()
+    B, T, D3 = qkv.shape
+    D = D3 // 3
+    H = D // hd
+    scale = hd ** -0.5
+    g = _group_packed(H, hd, T, T, cap=2)
+    nb = H // g
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_packed, scale=scale, s_valid=T,
+                          Tk=T, hd=hd),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, T, D), qkv.dtype)
+                        for _ in range(3)),
+        grid=(B, nb),
+        in_specs=[_spec_off(T, g * hd, 0), _spec_off(T, g * hd, nb),
+                  _spec_off(T, g * hd, 2 * nb)]
+        + _specs_packed(1, T, g * hd),
+        out_specs=tuple(_specs_packed(3, T, g * hd)),
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * H * T * T * hd,
+            bytes_accessed=B * H * 7 * T * hd * qkv.dtype.itemsize,
+            transcendentals=B * H * T * T),
+    )(qkv, qkv, qkv, do)
+    return (jnp.concatenate([dq, dk, dv], axis=-1),)
+
+
+dense_attention_qkv.defvjp(_fwd_qkv, _bwd_qkv)
