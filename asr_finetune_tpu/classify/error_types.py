@@ -154,12 +154,23 @@ class RuleBasedClassifier:
 
 class LLMClassifier:
     """LLM-as-judge via a local HF instruct model (reference
-    classify_errors_hf.py:60-114's prompt scheme, German)."""
+    classify_errors_hf.py:60-114's prompt scheme, German).
 
-    def __init__(self, model_path: str, max_new_tokens: int = 128):
+    quantize=True runs the judge with dynamically int8-quantized Linear
+    layers on CPU (torch.ao.quantization.quantize_dynamic) — the generic
+    "quantized local LLM on a laptop" capability the reference gets from
+    its Apple-silicon MLX variant (classify_errors_hf_mlx_04.py:66-72,
+    Llama-3.3-70B-4bit); here hardware-agnostic instead of MLX-only."""
+
+    def __init__(self, model_path: str, max_new_tokens: int = 128,
+                 quantize: bool = False):
         from transformers import pipeline
         self.pipe = pipeline("text-generation", model=model_path,
                              model_kwargs={"local_files_only": True})
+        if quantize:
+            import torch
+            self.pipe.model = torch.ao.quantization.quantize_dynamic(
+                self.pipe.model, {torch.nn.Linear}, dtype=torch.qint8)
         self.max_new_tokens = max_new_tokens
 
     def classify(self, reference: str, hypothesis: str,
@@ -187,7 +198,8 @@ class LLMClassifier:
 def classify_eval_results(eval_json_path: str, output_csv: str,
                           model_path: Optional[str] = None,
                           error_types: Sequence[ErrorType] = DEFAULT_ERROR_TYPES,
-                          save_every: int = 20) -> List[Dict]:
+                          save_every: int = 20,
+                          quantize: bool = False) -> List[Dict]:
     """Classify every (original, predicted) pair from an eval_final.json.
 
     Incremental CSV saving after each `save_every` rows (reference
@@ -196,7 +208,8 @@ def classify_eval_results(eval_json_path: str, output_csv: str,
     with open(eval_json_path) as f:
         results = json.load(f)["results"]
 
-    clf = LLMClassifier(model_path) if model_path else RuleBasedClassifier()
+    clf = (LLMClassifier(model_path, quantize=quantize) if model_path
+           else RuleBasedClassifier())
     done = 0
     rows: List[Dict] = []
     if os.path.exists(output_csv):

@@ -21,6 +21,11 @@ def main(argv=None):
     p.add_argument("--eval_json", required=True)
     p.add_argument("--output_csv", required=True)
     p.add_argument("--llm_model_path", default="")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8-quantize the judge's Linear layers (CPU "
+                        "dynamic quantization) — the laptop-scale "
+                        "quantized-LLM path (reference MLX variant, "
+                        "classify_errors_hf_mlx_04.py:66-72)")
     p.add_argument("--error_types_csv", default="")
     p.add_argument("--save_every", type=int, default=20)
     a = p.parse_args(argv)
@@ -30,7 +35,8 @@ def main(argv=None):
         else DEFAULT_ERROR_TYPES
     classify_eval_results(a.eval_json, a.output_csv,
                           model_path=a.llm_model_path or None,
-                          error_types=types, save_every=a.save_every)
+                          error_types=types, save_every=a.save_every,
+                          quantize=a.quantize)
     profile = aggregate_error_profile(a.output_csv)
     print(json.dumps(profile, indent=2, ensure_ascii=False))
     return profile

@@ -110,8 +110,12 @@ class TPESearch:
                     return c / c.sum()
                 pl, pg = counts(good), counts(bad)
                 ratio = pl / pg
-                out[name] = vals[int(np.argmax(ratio))] \
-                    if self.rng.random() > 0.1 else dom.sample(self.rng)
+                # SAMPLE from the normalized l/g ratio (Optuna-style)
+                # instead of argmax: an argmax would lock a categorical in
+                # after a handful of observations; sampling keeps every
+                # category drawn in proportion to its evidence
+                probs = ratio / ratio.sum()
+                out[name] = vals[int(self.rng.choice(len(vals), p=probs))]
                 continue
 
             xs_good = np.array([self._fwd(name, o[name]) for o in good if name in o])

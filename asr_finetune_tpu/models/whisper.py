@@ -389,6 +389,11 @@ def _fuse_qkv_weights(attn: Params) -> Params:
         fused["w_scale"] = jnp.concatenate([p["w_scale"] for p in ps],
                                            axis=-1)
     else:
+        # mixed quantized/float q/k/v cannot be fused into one matmul;
+        # unreachable via quantize_tree_int8 (quantizes all three
+        # together) but guard explicitly rather than KeyError on p['w']
+        assert not any("w_q8" in p for p in ps), \
+            "mixed int8/float q/k/v projections cannot be qkv-fused"
         fused["w"] = jnp.concatenate([p["w"] for p in ps], axis=-1)
     if any("b" in p for p in ps):
         ref = next(p["b"] for p in ps if "b" in p)
@@ -472,7 +477,9 @@ def _fused_qkv_ok(cfg: WhisperConfig, T: int, impl: str) -> bool:
 
     ASR_TPU_FUSED_QKV=auto engages it exactly where the dispatch would
     pick the packed dense kernel (TPU backend, impl auto/dense,
-    supported shape); =1 forces it (CPU interpret-mode tests);
+    supported shape); =1 forces it on impl auto/dense (CPU
+    interpret-mode tests) but yields to an explicit attn_impl
+    xla/flash; =force overrides even an explicit impl (test-only);
     unset/=0 disables."""
     import os
     mode = os.environ.get("ASR_TPU_FUSED_QKV", "0").lower()
@@ -484,10 +491,12 @@ def _fused_qkv_ok(cfg: WhisperConfig, T: int, impl: str) -> bool:
     from ..ops.encoder_attention import fused_qkv_supported
     if not fused_qkv_supported(cfg.encoder_heads, hd, T):
         return False
+    if impl not in ("auto", "dense"):
+        # an explicit xla/flash request wins over the fused-qkv opt-in;
+        # "force" remains a test-only escape hatch that overrides it
+        return mode == "force"
     if mode in ("1", "true", "yes", "on", "force"):
         return True
-    if impl not in ("auto", "dense"):
-        return False
     from ..ops.attention import _flash_available
     return _flash_available()
 
@@ -512,8 +521,13 @@ def encode(params: Params, mel: jax.Array, cfg: WhisperConfig,
 
     layers = enc["layers"]
     if _fused_qkv_ok(cfg, x.shape[1], attn_impl):
-        # fused wide qkv projection: weight concat hoisted out of the scan
-        layers = dict(layers, attn_qkv=_fuse_qkv_weights(layers["attn"]))
+        # fused wide qkv projection: weight concat hoisted out of the scan.
+        # Drop the now-unused per-layer q/k/v weights from the scanned xs
+        # (keep only the output projection) so the scan never streams the
+        # dead slices from HBM — correctness must not depend on XLA DCE.
+        layers = dict(layers,
+                      attn_qkv=_fuse_qkv_weights(layers["attn"]),
+                      attn={"o": layers["attn"]["o"]})
 
     def layer(x, xs):
         lp, la, rng = xs

@@ -384,7 +384,12 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             x = checkpoint_name(x, save_tag)
         return x
 
-    if _group_packed(H, hd, Tq_p, Tk_p) and _packed_default():
+    # Dispatch gates on the BACKWARD grouping (cap=2, matching
+    # fused_qkv_supported): the fwd kernel can group up to 4 heads, but
+    # _bwd_packed needs a cap=2 grouping, and a shape that only groups at
+    # cap=4 (e.g. H=4, hd=32) would crash at grad-trace time if dispatched
+    # here. Such shapes take the transpose layout below instead.
+    if _group_packed(H, hd, Tq_p, Tk_p, cap=2) and _packed_default():
         if _native_t_default():
             # native-T only on the packed path; the (BH, T, hd) fallback
             # keeps 128-aligned rows (its specs were tuned there)

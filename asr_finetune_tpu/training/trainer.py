@@ -261,10 +261,15 @@ class Trainer:
 
         it = self.train_iter(start_step)
         t_log = time.time()
-        tokens_since = 0
         utts_since = 0
         step = start_step
-        window_losses: List[float] = []
+        # per-step metrics stay ON DEVICE inside the logging window so the
+        # host never blocks on a step's completion (a float() here would
+        # serialize dispatch: step k+1 could not be enqueued until step k
+        # finished — measurable at the fast decoder-only config and on
+        # multi-chip steps). One device_get per logging_steps fetches the
+        # whole window; metrics.jsonl content is identical.
+        window_metrics: List[Dict[str, jax.Array]] = []
 
         while step < self.cfg.max_steps:
             batch = next(it)
@@ -272,28 +277,33 @@ class Trainer:
                             if k in ("mel", "audio", "decoder_input_ids", "labels")}
             self.state, m = self._train_step(self.state, device_batch)
             step += 1
-            window_losses.append(float(m["loss"]))
-            tokens_since += int(m["tokens"])
+            window_metrics.append(m)
             lead = device_batch["labels"]
             utts_since += int(np.prod(lead.shape[:-1]))
 
             if step % self.cfg.logging_steps == 0:
+                win = jax.device_get(window_metrics)  # single host sync
                 dt = time.time() - t_log
+                tokens_since = int(np.sum([w["tokens"] for w in win]))
                 rec = {
-                    "loss": float(np.mean(window_losses)),
-                    "grad_norm": float(m["grad_norm"]),
+                    "loss": float(np.mean([w["loss"] for w in win])),
+                    "grad_norm": float(win[-1]["grad_norm"]),
                     "utt_per_sec": utts_since / max(dt, 1e-9),
                     "tokens_per_sec": tokens_since / max(dt, 1e-9),
                 }
                 # continuous per-host utilization series (HBM in use, host
-                # RSS) → metrics.jsonl/TB — the live-dashboard capability of
-                # the reference's Ray/Grafana wiring
-                # (finetune_large_debug_dashboard.sh:118-200)
+                # RSS): EVERY process writes its own metrics_host<i>.jsonl
+                # + host<i>/ TB run, so a multi-host pod shows all nodes
+                # live — the reference's Ray/Grafana dashboard capability
+                # (finetune_large_debug_dashboard.sh:118-200); rank 0's
+                # stats also ride in the global record
                 from ..utils.profiling import log_memory_usage
-                rec.update(log_memory_usage(quiet=True))
+                host_stats = log_memory_usage(quiet=True)
+                self.metrics.log_host(step, host_stats)
+                rec.update(host_stats)
                 self.metrics.log(step, rec)
-                window_losses.clear()
-                tokens_since = utts_since = 0
+                window_metrics.clear()
+                utts_since = 0
                 t_log = time.time()
 
             stop_early = False

@@ -25,26 +25,45 @@ def setup_logging(level: int = logging.INFO) -> None:
 
 
 class MetricsLogger:
-    """Appends metric dicts to metrics.jsonl and mirrors them to TB."""
+    """Appends metric dicts to metrics.jsonl and mirrors them to TB.
+
+    Two channels:
+    - global training metrics → `metrics.jsonl` + TB scalars, rank 0 only
+      (every rank computes identical values; concurrent appends to one
+      shared file would interleave);
+    - per-host telemetry (RSS, HBM in use, device duty) → one
+      `metrics_host<i>.jsonl` PER PROCESS via :meth:`log_host`, plus a
+      `host<i>/` TensorBoard run per process — so a multi-host pod shows
+      every node's utilization live, the capability the reference wires
+      through Grafana/Prometheus/Ray-dashboard
+      (finetune_large_debug_dashboard.sh:118-200). Rank 0's own host
+      stats additionally ride in the global record as before.
+    """
 
     def __init__(self, directory: str, use_tensorboard: bool = True):
         self.directory = directory
-        # multi-host: only rank 0 writes (every rank computes identical
-        # metrics; concurrent appends to one shared file would interleave)
         self._active = True
+        self._pi = 0
         try:
             import jax
-            self._active = jax.process_index() == 0
+            self._pi = jax.process_index()
+            self._active = self._pi == 0
         except Exception:  # noqa: BLE001
             pass
         os.makedirs(directory, exist_ok=True)
         self._jsonl = (open(os.path.join(directory, "metrics.jsonl"), "a")
                        if self._active else None)
+        self._host_jsonl = open(
+            os.path.join(directory, f"metrics_host{self._pi}.jsonl"), "a")
         self._tb = None
-        if use_tensorboard and self._active:
+        self._host_tb = None
+        if use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
-                self._tb = SummaryWriter(log_dir=directory)
+                if self._active:
+                    self._tb = SummaryWriter(log_dir=directory)
+                self._host_tb = SummaryWriter(
+                    log_dir=os.path.join(directory, f"host{self._pi}"))
             except Exception as e:  # noqa: BLE001
                 logger.warning("tensorboard writer unavailable: %s", e)
 
@@ -65,11 +84,32 @@ class MetricsLogger:
                     continue
                 self._tb.add_scalar(k, v, step)
 
+    def log_host(self, step: int, metrics: Dict[str, Any]) -> None:
+        """Per-host telemetry series — called on EVERY process."""
+        rec = {"step": int(step), "time": time.time(),
+               "process_index": self._pi}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = v
+        self._host_jsonl.write(json.dumps(rec) + "\n")
+        self._host_jsonl.flush()
+        if self._host_tb is not None:
+            for k, v in rec.items():
+                if k in ("step", "time", "process_index") \
+                        or not isinstance(v, float):
+                    continue
+                self._host_tb.add_scalar(k, v, step)
+
     def close(self) -> None:
         if self._jsonl is not None:
             self._jsonl.close()
+        self._host_jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._host_tb is not None:
+            self._host_tb.close()
 
 
 def dump_config(directory: str, config: Dict[str, Any],

@@ -1,19 +1,33 @@
-"""Headline benchmark: utterances/sec/chip, whisper-large-v3 LoRA fine-tune.
+"""Headline benchmark + full config matrix (BASELINE.json configs 1-5).
 
-Matches BASELINE.json's primary metric. One training step = on-device
-log-mel frontend + teacher-forced forward/backward through the frozen
-int8 base (the reference's headline config trains with load_in_8bit=True,
-largev3_jun.config; here W8A8 — s8xs8 on the MXU with vector-wise
-activation scales, bnb-style minus outlier decomposition) with LoRA
-adapters on q/v projections (lora_dropout=0.05 active, trainers.py:527)
-+ AdamW adapter update — the TPU-native equivalent of the reference's
-PEFT trial hot loop (trainers.py:472-722). BENCH_INT8=0 keeps the base
-in bf16 with dequant-at-use instead. The reference publishes no numbers (BASELINE.md);
-vs_baseline is measured against an estimated 6 utt/s/A100 for the
-reference's HF-Trainer LoRA path at batch 8 (documented in BASELINE.md —
-"established, not matched").
+Headline: utterances/sec/chip, whisper-large-v3 LoRA fine-tune — one
+training step = on-device log-mel frontend + teacher-forced
+forward/backward through the frozen int8 base (the reference's headline
+config trains with load_in_8bit=True, largev3_jun.config; here W8A8 —
+s8xs8 on the MXU with vector-wise activation scales + the k=8 outlier
+decomposition for bnb LLM.int8() numerics parity) with LoRA adapters on
+q/v projections (lora_dropout=0.05 active, trainers.py:527) + AdamW
+adapter update — the TPU-native equivalent of the reference's PEFT trial
+hot loop (trainers.py:472-722). BENCH_INT8=0 keeps the base in bf16 with
+dequant-at-use; BENCH_INT8_OUTLIER=0 drops the outlier decomposition.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The matrix (BENCH_MATRIX=1, default) additionally records:
+- full_ft      — whisper-small full fine-tune + on-device SpecAugment
+                 (BASELINE.json config #2)
+- decode_greedy — large-v3 greedy WER-eval decode at bs 8/16/32, plus an
+                 int8-streaming variant (config #5; reference eval loop
+                 evaluate_peft.py:370-430)
+- decode_beam  — large-v3 beam-4 decode (config #5)
+Config #4 (multi-chip DP) is exercised by the driver's dryrun_multichip
+gate (virtual 8-dev mesh exec + large-v3 AOT compile; MULTICHIP_r*.json)
+— single-chip hardware here can't measure it.
+
+The reference publishes no numbers (BASELINE.md); vs_baseline is a ratio
+against an ESTIMATED 6 utt/s/A100 for the reference's HF-Trainer LoRA
+path at batch 8 (documented in BASELINE.md — "established, not matched").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
+"matrix": {peft_parity, peft_decoder, full_ft, decode_greedy, decode_beam}}.
 """
 import json
 import os
@@ -27,6 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_BASELINE_UTT_PER_SEC = 6.0  # estimated reference throughput per A100
+BASELINE_NOTE = (f"est. {A100_BASELINE_UTT_PER_SEC:g} utt/s/A100 "
+                 "(estimated, see BASELINE.md — reference publishes none)")
 
 MODEL = os.environ.get("BENCH_MODEL", "large-v3")
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
@@ -34,20 +50,18 @@ LABEL_LEN = int(os.environ.get("BENCH_LABEL_LEN", "192"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 # BENCH_MODE=peft (headline, default) | full — `full` measures the full
-# fine-tune step with on-device SpecAugment (BASELINE.json config #2 shape;
-# use BENCH_MODEL=small for that config)
+# fine-tune step with on-device SpecAugment as the PRIMARY metric
 MODE = os.environ.get("BENCH_MODE", "peft")
 INT8 = os.environ.get("BENCH_INT8", "1") != "0"
 # BENCH_LORA_TARGETS=all (headline, reference PEFT parity: adapters on every
 # q/v projection incl. encoder self-attention, trainers.py:525) | decoder
-# (lighter decoder-only placement; encoder backward is dropped by XLA)
 LORA_TARGETS = os.environ.get("BENCH_LORA_TARGETS", "all")
+MATRIX = os.environ.get("BENCH_MATRIX", "1") != "0"
 
 
-def measure(lora_targets: str):
-    """One config's numbers; the headline run measures the parity
-    placement and (unless BENCH_SECONDARY=0) the lighter decoder-only
-    placement as a secondary line in the same JSON."""
+def measure_train(mode: str, lora_targets: str, model: str,
+                  batch: int = None, steps: int = None):
+    """One training config's numbers (utt/s/chip + self-audited MFU)."""
     from asr_finetune_tpu.models import whisper as W
     from asr_finetune_tpu.models.configs import get_config
     from asr_finetune_tpu.ops import logmel
@@ -56,26 +70,33 @@ def measure(lora_targets: str):
     from asr_finetune_tpu.training.train_step import (
         TrainStepConfig, make_train_state, make_train_step)
 
-    cfg = get_config(MODEL)
+    batch = batch or BATCH
+    steps = steps or STEPS
+    cfg = get_config(model)
     rng = jax.random.PRNGKey(0)
     params = W.init_params(rng, cfg)
     tx = optim.make_optimizer(1e-4, max_steps=1000)
 
-    if MODE == "full":
+    int8_desc = ""
+    if mode == "full":
         # full fine-tune: fp32 master params, on-device SpecAugment
         tcfg = TrainStepConfig(mode="full", compute_dtype=jnp.bfloat16,
                                remat=True, on_device_logmel=True,
                                spec_augment=True,
                                n_mels=cfg.num_mel_bins, max_steps=1000)
         state = make_train_state(params, tx)
-        lcfg = None
     else:
-        # frozen base: int8 W8A8 (reference load_in_8bit parity) by default
+        # frozen base: int8 W8A8 + outlier decomposition (reference
+        # load_in_8bit = bnb LLM.int8() parity) by default
         params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
         if INT8:
             from asr_finetune_tpu.ops import quant
             params = quant.quantize_tree_int8(params)
             quant.set_int8_compute(True)
+            k = int(os.environ.get("BENCH_INT8_OUTLIER", "8"))
+            quant.set_int8_outlier_cols(k)
+            int8_desc = (f", int8 W8A8+outlier-{k} base" if k
+                         else ", int8 W8A8 base")
         lcfg = lora_lib.LoraConfig(rank=8, alpha=16.0)
         adapters = lora_lib.init_adapters(jax.random.PRNGKey(1), cfg, lcfg,
                                           encoder=(lora_targets == "all"))
@@ -88,47 +109,93 @@ def measure(lora_targets: str):
 
     host_rng = np.random.default_rng(0)
     audio = jnp.asarray(host_rng.standard_normal(
-        (BATCH, logmel.CHUNK_SAMPLES)).astype(np.float32) * 0.1)
+        (batch, logmel.CHUNK_SAMPLES)).astype(np.float32) * 0.1)
     toks = jnp.asarray(host_rng.integers(
-        0, max(cfg.vocab_size - 2000, 2), (BATCH, LABEL_LEN)).astype(np.int32))
-    batch = {"audio": audio, "decoder_input_ids": toks, "labels": toks}
+        0, max(cfg.vocab_size - 2000, 2), (batch, LABEL_LEN)).astype(np.int32))
+    batch_d = {"audio": audio, "decoder_input_ids": toks, "labels": toks}
 
     for _ in range(WARMUP):
-        state, metrics = step(state, batch)
+        state, metrics = step(state, batch_d)
     float(metrics["loss"])  # full host sync (block_until_ready alone does not
                             # flush the axon remote-execution tunnel)
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, metrics = step(state, batch)
+    for _ in range(steps):
+        state, metrics = step(state, batch_d)
     loss = float(metrics["loss"])
     dt = time.perf_counter() - t0
     assert np.isfinite(loss), loss
 
     n_chips = jax.local_device_count()
-    utt_per_sec_per_chip = BATCH * STEPS / dt / n_chips
-    if MODE == "full":
+    utt_per_sec_per_chip = batch * steps / dt / n_chips
+    if mode == "full":
         mode_desc = "full fine-tune + SpecAugment"
     else:
         targets_desc = "enc+dec q/v" if lora_targets == "all" else "dec q/v"
-        mode_desc = (f"LoRA [{targets_desc}] fine-tune"
-                     + (", int8 W8A8 base" if INT8 else ""))
+        mode_desc = f"LoRA [{targets_desc}] fine-tune{int8_desc}"
 
     # self-auditing MFU: useful model matmul FLOPs (remat recompute
     # excluded) over the chip's bf16 peak — see utils/flops.py
     from asr_finetune_tpu.utils import flops as F
-    step_flops = F.train_step_flops(cfg, BATCH, LABEL_LEN, mode=MODE,
+    step_flops = F.train_step_flops(cfg, batch, LABEL_LEN, mode=mode,
                                     encoder_adapted=(lora_targets == "all"))
-    step_mfu = F.mfu(step_flops, dt / STEPS, chip="v5e", n_chips=n_chips)
+    step_mfu = F.mfu(step_flops, dt / steps, chip="v5e", n_chips=n_chips)
 
     return {
-        "metric": f"utterances/sec/chip ({MODEL} {mode_desc}, bs={BATCH}, "
+        "metric": f"utterances/sec/chip ({model} {mode_desc}, bs={batch}, "
                   f"labels={LABEL_LEN}, on-device log-mel)",
         "value": round(utt_per_sec_per_chip, 3),
         "unit": "utt/s/chip",
         "vs_baseline": round(utt_per_sec_per_chip / A100_BASELINE_UTT_PER_SEC, 3),
+        # vs_baseline is a ratio against an ESTIMATE, not a measurement —
+        # the reference publishes no numbers (SURVEY.md §6, BASELINE.md)
+        "baseline": BASELINE_NOTE,
         "mfu": round(step_mfu, 4),
         "model_tflops_per_step": round(step_flops / 1e12, 2),
+    }
+
+
+def measure_decode(batch: int, beams: int, kv_int8: bool = False,
+                   w_int8: bool = False, max_length: int = 225,
+                   model: str = "large-v3", runs: int = 2,
+                   _cache={}):
+    """WER-eval decode throughput (BASELINE.json config #5; reference hot
+    eval loop evaluate_peft.py:370-430: per-batch generate + autocast)."""
+    from asr_finetune_tpu.evaluation import decode as D
+    from asr_finetune_tpu.models import whisper as W
+    from asr_finetune_tpu.models.configs import get_config
+
+    cfg = get_config(model)
+    if model not in _cache:
+        _cache[model] = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16),
+            W.init_params(jax.random.PRNGKey(0), cfg))
+    params = _cache[model]
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal(
+        (batch, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32))
+    forced = [cfg.sot_token_id, cfg.sot_token_id + 3,
+              cfg.transcribe_token_id, cfg.no_timestamps_token_id]
+    fn = D.make_decode_fn(cfg, forced, max_length, beams,
+                          kv_int8=kv_int8, w_int8=w_int8)
+    tokens, _ = fn(params, mel)
+    _ = np.asarray(tokens)  # compile + full sync
+    times = []
+    for _i in range(runs):
+        t0 = time.perf_counter()
+        tokens, _ = fn(params, mel)
+        _ = np.asarray(tokens)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    flags = (", kv_int8" if kv_int8 else "") + (", w_int8" if w_int8 else "")
+    return {
+        "metric": f"decode ({model}, beams={beams}, bs={batch}, "
+                  f"max_len={max_length}{flags})",
+        "value": round(batch / dt, 3),
+        "unit": "utt/s/chip",
+        "seconds_per_batch": round(dt, 3),
+        "ms_per_token": round(dt / max_length * 1000, 3),
     }
 
 
@@ -160,15 +227,40 @@ def _init_backend_or_die(timeout_s: int = 600) -> None:
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
 
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     _init_backend_or_die()
-    result = measure(LORA_TARGETS)
-    # the decoder-only placement is the round-2 configuration; keep it as a
-    # secondary line so the lighter-workload number stays visible next to
-    # the reference-parity headline (VERDICT r2 task 1)
-    if (MODE == "peft" and LORA_TARGETS == "all"
-            and os.environ.get("BENCH_SECONDARY", "1") != "0"):
-        result["secondary"] = measure("decoder")
+    _log("measuring headline (peft parity)...")
+    headline = measure_train(MODE, LORA_TARGETS, MODEL)
+    result = dict(headline)
+    matrix = {}
+    if MODE == "peft" and LORA_TARGETS == "all":
+        matrix["peft_parity"] = headline
+        if os.environ.get("BENCH_SECONDARY", "1") != "0":
+            # the decoder-only placement is the round-2 configuration; keep
+            # it visible next to the reference-parity headline
+            _log("measuring peft decoder-only secondary...")
+            matrix["peft_decoder"] = measure_train("peft", "decoder", MODEL)
+            result["secondary"] = matrix["peft_decoder"]
+    if MATRIX and MODE == "peft":
+        # BASELINE.json config #2: whisper-small full FT + SpecAugment
+        _log("measuring full fine-tune (small + SpecAugment)...")
+        matrix["full_ft"] = measure_train("full", "all", "small")
+        # config #5: batched eval decode, greedy sweep + int8 variant + beam
+        greedy = {}
+        for bs in (8, 16, 32):
+            _log(f"measuring greedy decode bs={bs}...")
+            greedy[f"bs{bs}"] = measure_decode(bs, 1)
+        _log("measuring greedy decode bs=16 int8-streaming...")
+        greedy["bs16_int8"] = measure_decode(16, 1, kv_int8=True,
+                                             w_int8=True)
+        matrix["decode_greedy"] = greedy
+        _log("measuring beam-4 decode bs=8...")
+        matrix["decode_beam"] = {"bs8": measure_decode(8, 4)}
+        result["matrix"] = matrix
     print(json.dumps(result))
 
 

@@ -107,3 +107,11 @@ def test_llm_classifier_hf_pipeline_end_to_end(tmp_path):
                                  error_types=DEFAULT_ERROR_TYPES[:2])
     assert len(rows) == 2
     assert out_csv.exists()
+
+    # quantized local-judge path: int8 dynamic quantization of the judge's
+    # Linear layers on CPU — the hardware-agnostic stand-in for the
+    # reference's MLX 4-bit laptop variant (classify_errors_hf_mlx_04.py)
+    qclf = LLMClassifier(str(model_dir), max_new_tokens=8, quantize=True)
+    qout = qclf.classify("das ist ein test", "das ist kein test",
+                         DEFAULT_ERROR_TYPES[:1])
+    assert {"p", "N", "warum"} <= set(next(iter(qout.values())))
