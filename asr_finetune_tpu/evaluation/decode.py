@@ -412,10 +412,11 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     cache = W.init_cache(cfg, B * K, cache_len, dtype=compute_dtype,
                          dense=fused)
 
-    def step_fn(cur, t, cache):
+    def step_fn(cur, t, cache, anc=None):
         if fused:
             return W.decode_step_fused(params, cur, t, cache, cross_kv,
-                                       cfg, s_real, compute_dtype)
+                                       cfg, s_real, compute_dtype,
+                                       ancestry=anc)
         return W.decode_step(params, cur, t, cache, cross_kv, cfg,
                              adapters, compute_dtype)
 
@@ -431,12 +432,26 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
         return jnp.take_along_axis(
             x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
 
+    # beam-ancestry map (fused path): anc[b, k, τ] = the beam ROW whose
+    # unpermuted cache slot τ holds hypothesis (b, k)'s history — gathered
+    # on the beam axis each step (16 KB) so the CACHE never is (the
+    # conventional full-cache reorder costs ~1.3 GB/step at large-v3
+    # beam-4; see ops/decoder_fused.fused_attn_beam)
+    anc0 = jnp.zeros((B, K, cache_len), jnp.int32)
+    own_rows = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, 1))
+
     def body(carry):
         (t, tokens, cache, scores, fin_tokens, fin_scores, fin_lens,
-         last_ts, done) = carry
+         last_ts, done, anc) = carry
         cur = jax.lax.dynamic_index_in_dim(
             tokens.reshape(B * K, max_length), t, axis=1, keepdims=False)
-        logits, new_cache = step_fn(cur, t, cache)
+        if fused:
+            # this step writes each row's own K/V at position t
+            anc = jax.lax.dynamic_update_slice(anc, own_rows, (0, 0, t))
+            logits, new_cache = step_fn(cur, t, cache, anc)
+        else:
+            logits, new_cache = step_fn(cur, t, cache)
         if bias is not None:
             logits = logits + bias
         is_begin = (t + 1) == n_forced
@@ -509,9 +524,13 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
             last_ts = jnp.take_along_axis(last_ts, beam_idx, axis=1)
             last_ts = jnp.where(tok_idx >= timestamp_begin, tok_idx, last_ts)
 
-        # reorder cache on the beam dim: (L, B*K, T, ...) either layout
-        flat_idx = (jnp.arange(B)[:, None] * K + beam_idx).reshape(-1)
-        new_cache = {k: v[:, flat_idx] for k, v in new_cache.items()}
+        if fused:
+            # gather the ancestry rows, not the cache
+            anc = jnp.take_along_axis(anc, beam_idx[:, :, None], axis=1)
+        else:
+            # XLA path: reorder cache on the beam dim, (L, B*K, T, ...)
+            flat_idx = (jnp.arange(B)[:, None] * K + beam_idx).reshape(-1)
+            new_cache = {k: v[:, flat_idx] for k, v in new_cache.items()}
 
         # per-batch done (BeamHypotheses.is_done, early_stopping=False):
         # K finished hyps AND the worst kept beats the best candidate's
@@ -523,17 +542,18 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
 
         scores = top_scores
         return (t + 1, tokens, new_cache, scores, fin_tokens, fin_scores,
-                fin_lens, last_ts, done)
+                fin_lens, last_ts, done, anc)
 
     def cond(carry):
         t = carry[0]
-        done = carry[-1]
+        done = carry[-2]
         return jnp.logical_and(t < max_length - 1, ~jnp.all(done))
 
     carry = (jnp.int32(0), tokens0, cache, scores0, fin_tokens0, fin_scores0,
-             fin_lens0, jnp.zeros((B, K), jnp.int32), jnp.zeros((B,), bool))
+             fin_lens0, jnp.zeros((B, K), jnp.int32), jnp.zeros((B,), bool),
+             anc0)
     (t, tokens, _, scores, fin_tokens, fin_scores, fin_lens,
-     _, done) = jax.lax.while_loop(cond, body, carry)
+     _, done, _) = jax.lax.while_loop(cond, body, carry)
 
     # finalize (BeamSearchScorer.finalize): batches not done at max length
     # fold their K running beams into the finished set at the final

@@ -803,7 +803,8 @@ def decode_step(params: Params, token: jax.Array, pos: jax.Array,
 def decode_step_fused(params: Params, token: jax.Array, pos: jax.Array,
                       cache: Params, cross_kv: Params, cfg: WhisperConfig,
                       s_valid: int,
-                      compute_dtype: jnp.dtype = jnp.bfloat16
+                      compute_dtype: jnp.dtype = jnp.bfloat16,
+                      ancestry: Optional[jax.Array] = None
                       ) -> Tuple[jax.Array, Params]:
     """One autoregressive step through the fused Pallas layer kernels
     (ops/decoder_fused.py): 4 bandwidth-bound kernels per layer instead of
@@ -824,6 +825,14 @@ def decode_step_fused(params: Params, token: jax.Array, pos: jax.Array,
     cache copies per token. int8 cross-KV passes {k_q8, v_q8} (L, B, S, d)
     plus per-(batch, head) scales {k_scale_d, v_scale_d} (L, B, d); dequant
     is fused into the kernel's streamed read.
+
+    ancestry (beam search only): (B, K, T) int32 map of which beam ROW owns
+    each hypothesis' cache slot per position. With it the self-attention
+    runs the unpermuted-cache beam kernel (ops/decoder_fused.fused_attn_beam)
+    and the caller never reorders the cache on the beam axis — the per-step
+    full-cache gather that dominates conventional beam decoding (HF
+    generate's `_reorder_cache`, which the reference inherits) is replaced
+    by a 16 KB ancestry gather.
     """
     from ..ops import decoder_fused as DF
 
@@ -880,8 +889,13 @@ def decode_step_fused(params: Params, token: jax.Array, pos: jax.Array,
             ck, k_new[None, :, None, :].astype(ck.dtype), (l, zero, pos, zero))
         cv = jax.lax.dynamic_update_slice(
             cv, v_new[None, :, None, :].astype(cv.dtype), (l, zero, pos, zero))
-        x = DF.fused_attn(x, ck, cv, wo_, sa["o"]["b"],
-                          q=q, pos=pos, wo_scale=so_, layer_idx=l)
+        if ancestry is not None:
+            x = DF.fused_attn_beam(x, ck, cv, wo_, sa["o"]["b"], q=q,
+                                   pos=pos, ancestry=ancestry,
+                                   wo_scale=so_, layer_idx=l)
+        else:
+            x = DF.fused_attn(x, ck, cv, wo_, sa["o"]["b"],
+                              q=q, pos=pos, wo_scale=so_, layer_idx=l)
         x = DF.fused_attn(x, xk, xv, co_, ca["o"]["b"], s_valid=s_valid,
                           ln_scale=lay["ln2"]["scale"],
                           ln_bias=lay["ln2"]["bias"],

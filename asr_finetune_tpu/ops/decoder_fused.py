@@ -432,6 +432,174 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# kernel 2b: beam-search self-attention over an UNPERMUTED cache
+# ---------------------------------------------------------------------------
+#
+# Beam search conventionally reorders the whole KV cache on the beam axis
+# every step (cache[:, flat_idx]) so each hypothesis' history is contiguous
+# in its own row. At large-v3 beam-4 that gather is a read+write of the full
+# (L, B·K, T, d) cache per token — ~1.3 GB/step, measurably the largest
+# single cost of the beam path (ARCHITECTURE.md round-3 profile: 4.01 s vs
+# the ~2.3 s the greedy per-row cost predicts). The reference pays the same
+# structural cost inside HF generate's `_reorder_cache` (torch.index_select
+# per layer).
+#
+# This kernel removes the reorder: cache rows are never permuted; a tiny
+# ancestry map anc (B, K, T) int32 — anc[b, k, τ] = the beam ROW whose cache
+# slot τ holds hypothesis (b,k)'s key at position τ — is gathered on the
+# beam axis instead (16 KB, not 1.3 GB). Attention then reads ALL K rows of
+# the batch group (the same bytes a reorder-free step must stream anyway)
+# and masks each query's scores with `row == anc[kq, τ]`: per hypothesis
+# exactly one row is live at every position, so softmax semantics are
+# identical to contiguous-history attention. Cache HBM traffic per step
+# drops 3× (read-only, no gather write + re-read).
+
+def _attn_beam_kernel(l_ref, pos_ref, q_ref, xres_ref, anc_ref, k_ref, v_ref,
+                      m_ref, mt_ref, wo_ref, bo_ref, so_ref, out_ref,
+                      q_s, acc_s, m_s, l_s, *, K, Tc, n_j, wo_quant):
+    del l_ref  # consumed by the BlockSpec index_maps
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_s[:] = jnp.full_like(m_s, NEG)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+        q_s[:] = q_ref[0]
+
+    k = k_ref[0]                                           # (K, Tc, d)
+    v = v_ref[0].reshape(K * Tc, -1)                       # (K*Tc, d)
+    anc = anc_ref[0]                                       # (K, Tc) int32
+    col = j * Tc + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    in_range = col <= pos_ref[0]                           # (1, Tc)
+
+    for kq in range(K):
+        qk = q_s[kq:kq + 1, :].astype(k.dtype)[:, None, :]  # (1, 1, d)
+        tmp = k * qk                                       # (K, Tc, d)
+        s = jnp.dot(tmp.reshape(K * Tc, -1), m_ref[:],
+                    preferred_element_type=jnp.float32)    # (K*Tc, HP)
+        # live iff this row holds hypothesis kq's history at this position
+        valid = ((row == anc[kq:kq + 1, :]) & in_range).reshape(K * Tc, 1)
+        s = jnp.where(valid, s, NEG)
+
+        m_new = jnp.maximum(m_s[kq:kq + 1, :],
+                            jnp.max(s, axis=0, keepdims=True))   # (1, HP)
+        corr = jnp.exp(m_s[kq:kq + 1, :] - m_new)
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)      # (K*Tc, HP)
+        l_s[kq:kq + 1, :] = l_s[kq:kq + 1, :] * corr \
+            + jnp.sum(p, axis=0, keepdims=True)
+        m_s[kq:kq + 1, :] = m_new
+
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (HP, d)
+        corr_d = jnp.dot(corr, mt_ref[:], preferred_element_type=jnp.float32)
+        acc_s[kq:kq + 1, :] = acc_s[kq:kq + 1, :] * corr_d + jnp.sum(
+            pv * mt_ref[:].astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when(j == n_j - 1)
+    def _fin():
+        l_exp = jnp.dot(l_s[:], mt_ref[:], preferred_element_type=jnp.float32)
+        o_dt = xres_ref.dtype
+        o = (acc_s[:] / l_exp).astype(o_dt)                # (K, d)
+        wom = wo_ref[0].astype(o_dt)
+        out = jnp.dot(o, wom, preferred_element_type=jnp.float32)
+        if wo_quant:
+            out = out * so_ref[0]
+        out = out + bo_ref[0].astype(jnp.float32) \
+            + xres_ref[0].astype(jnp.float32)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+
+def fused_attn_beam(x: jax.Array, k: jax.Array, v: jax.Array,
+                    wo: jax.Array, bo: jax.Array, q: jax.Array,
+                    pos: jax.Array, ancestry: jax.Array,
+                    wo_scale: Optional[jax.Array] = None,
+                    layer_idx=None,
+                    interpret: Optional[bool] = None) -> jax.Array:
+    """Cached self-attention + output proj + residual for beam search over
+    an unpermuted cache (see the block comment above).
+
+    x/q (B·K, d) — q from fused_qkv, pre-scaled; k/v (B·K, T, d) dense cache
+    rows (stacked (L, B·K, T, d) with layer_idx), T a 128-multiple;
+    ancestry (B, K, T) int32 beam-row ownership per position. Keys at
+    col > pos are masked. wo_scale: int8 per-output-channel scale."""
+    k4 = _norm(k, 4)
+    v4 = _norm(v, 4)
+    N, d = x.shape
+    B, K, T_anc = ancestry.shape
+    assert N == B * K, (N, B, K)
+    T = k4.shape[2]
+    assert T_anc == T, (T_anc, T)
+    Tc = _pick_tc(T)
+    n_j = T // Tc
+    if interpret is None:
+        interpret = _interpret_default()
+    wo_quant = wo_scale is not None
+    m_np, mt_np = _head_matrices(d)
+    m_mat = jnp.asarray(m_np, k4.dtype)
+    mt_mat = jnp.asarray(mt_np, jnp.float32)
+    wo3 = _norm(wo, 3)
+    bo3 = _rows(_norm(bo, 2))
+    dummy = jnp.zeros((1, 8, 128), jnp.float32)
+    so3 = _scale_rows(wo_scale) if wo_quant else dummy
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def res(a):
+        shp = (1,) + a.shape[1:]
+        if a.shape[0] == 1:
+            return pl.BlockSpec(shp, lambda b, j, l: (0,) * a.ndim,
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shp, lambda b, j, l: (l[0],) + (0,) * (a.ndim - 1),
+                            memory_space=pltpu.VMEM)
+
+    grp = pl.BlockSpec((1, K, d), lambda b, j, l: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    kv_blk = pl.BlockSpec((1, K, Tc, d), lambda b, j, l: (l[0], b, j, 0),
+                          memory_space=pltpu.VMEM)
+    anc_blk = pl.BlockSpec((1, K, Tc), lambda b, j, l: (b, 0, j),
+                           memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda b, j, l: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_j),
+        in_specs=[
+            smem,                                          # pos
+            grp,                                           # q
+            grp,                                           # x residual
+            anc_blk,                                       # ancestry
+            kv_blk, kv_blk,                                # k, v
+            const(m_mat), const(mt_mat),                   # M, Mᵀ
+            res(wo3), res(bo3),                            # wo, bo
+            res(so3) if wo_quant else const(dummy),        # int8 wo scale
+        ],
+        out_specs=grp,
+        scratch_shapes=[
+            pltpu.VMEM((K, d), jnp.float32),               # q
+            pltpu.VMEM((K, d), jnp.float32),               # acc
+            pltpu.VMEM((K, HP), jnp.float32),              # m
+            pltpu.VMEM((K, HP), jnp.float32),              # l
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_attn_beam_kernel, K=K, Tc=Tc, n_j=n_j,
+                          wo_quant=wo_quant),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((B, K, d), x.dtype),
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )(_idx_arr(layer_idx),
+      jnp.asarray(pos, jnp.int32).reshape(1),
+      q.reshape(B, K, d), x.reshape(B, K, d), ancestry, k4, v4,
+      m_mat, mt_mat, wo3, bo3, so3)
+    return out.reshape(N, d)
+
+
+# ---------------------------------------------------------------------------
 # kernel 4: ln + MLP (fc1 → GELU → fc2) + residual, streamed over ff columns
 # ---------------------------------------------------------------------------
 

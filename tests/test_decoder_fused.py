@@ -109,6 +109,46 @@ def test_fused_cross_attn_int8_dequant(keys):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_fused_attn_beam_matches_xla(keys):
+    """Beam self-attention over an UNPERMUTED cache: masking scores with the
+    ancestry map must equal gathering each hypothesis' history rows first
+    and running plain single-query attention over the contiguous result."""
+    Bg, K = 2, 4
+    N = Bg * K
+    x = _rand(keys[0], N, D)
+    q = _rand(keys[1], N, D)
+    k = _rand(keys[2], N, T, D)
+    v = _rand(keys[3], N, T, D)
+    wo, bo = _rand(keys[4], D, D), _rand(keys[5], D)
+    anc = jax.random.randint(keys[6], (Bg, K, T), 0, K)
+
+    for pos in (0, 127, 128, 200, T - 1):
+        out = DF.fused_attn_beam(x, k, v, wo, bo, q=q, pos=jnp.int32(pos),
+                                 ancestry=anc)
+        # reference: materialize each hypothesis' history by gathering its
+        # ancestry rows, then plain causal single-query attention
+        kn, vn, an = np.asarray(k), np.asarray(v), np.asarray(anc)
+        kg = np.zeros_like(kn)
+        vg = np.zeros_like(vn)
+        for b in range(Bg):
+            for kq in range(K):
+                rows = b * K + an[b, kq]                 # (T,)
+                kg[b * K + kq] = kn[rows, np.arange(T)]
+                vg[b * K + kq] = vn[rows, np.arange(T)]
+        qh = np.asarray(q).reshape(N, 1, H, HD)
+        kh = kg.reshape(N, T, H, HD)
+        vh = vg.reshape(N, T, H, HD)
+        logits = np.einsum("bqhd,bkhd->bhqk", qh, kh)
+        logits = np.where((np.arange(T) <= pos)[None, None, None, :],
+                          logits, -np.inf)
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)
+        attn = np.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(N, D)
+        ref = np.asarray(x) + attn @ np.asarray(wo) + np.asarray(bo)
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"pos={pos}")
+
+
 def test_fused_mlp_matches_xla(keys):
     ff = 512
     x = _rand(keys[15], B, D)
