@@ -469,10 +469,15 @@ def _attn_beam_kernel(l_ref, pos_ref, q_ref, xres_ref, anc_ref, k_ref, v_ref,
 
     k = k_ref[0]                                           # (K, Tc, d)
     v = v_ref[0].reshape(K * Tc, -1)                       # (K*Tc, d)
-    anc = anc_ref[0]                                       # (K, Tc) int32
-    col = j * Tc + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-    in_range = col <= pos_ref[0]                           # (1, Tc)
+    anc = anc_ref[0]                                       # (K, Tc, 1) int32
+    # Build every mask vector sublane-major from the start: Mosaic cannot
+    # relayout a lane-major (K, Tc) mask into the (K*Tc, 1) score layout
+    # ("unsupported shape cast"), so the ancestry operand arrives as
+    # (..., Tc, 1) and the flattened row/position indices come from iota.
+    flat = jax.lax.broadcasted_iota(jnp.int32, (K * Tc, 1), 0)
+    row = flat // Tc                                       # (K*Tc, 1)
+    col = j * Tc + flat % Tc                               # (K*Tc, 1)
+    in_range = col <= pos_ref[0]                           # (K*Tc, 1)
 
     for kq in range(K):
         qk = q_s[kq:kq + 1, :].astype(k.dtype)[:, None, :]  # (1, 1, d)
@@ -480,7 +485,8 @@ def _attn_beam_kernel(l_ref, pos_ref, q_ref, xres_ref, anc_ref, k_ref, v_ref,
         s = jnp.dot(tmp.reshape(K * Tc, -1), m_ref[:],
                     preferred_element_type=jnp.float32)    # (K*Tc, HP)
         # live iff this row holds hypothesis kq's history at this position
-        valid = ((row == anc[kq:kq + 1, :]) & in_range).reshape(K * Tc, 1)
+        anc_rep = jnp.concatenate([anc[kq]] * K, axis=0)   # (K*Tc, 1)
+        valid = (row == anc_rep) & in_range
         s = jnp.where(valid, s, NEG)
 
         m_new = jnp.maximum(m_s[kq:kq + 1, :],
@@ -559,7 +565,7 @@ def fused_attn_beam(x: jax.Array, k: jax.Array, v: jax.Array,
                        memory_space=pltpu.VMEM)
     kv_blk = pl.BlockSpec((1, K, Tc, d), lambda b, j, l: (l[0], b, j, 0),
                           memory_space=pltpu.VMEM)
-    anc_blk = pl.BlockSpec((1, K, Tc), lambda b, j, l: (b, 0, j),
+    anc_blk = pl.BlockSpec((1, K, Tc, 1), lambda b, j, l: (b, 0, j, 0),
                            memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda b, j, l: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
@@ -594,7 +600,8 @@ def fused_attn_beam(x: jax.Array, k: jax.Array, v: jax.Array,
         interpret=interpret,
     )(_idx_arr(layer_idx),
       jnp.asarray(pos, jnp.int32).reshape(1),
-      q.reshape(B, K, d), x.reshape(B, K, d), ancestry, k4, v4,
+      q.reshape(B, K, d), x.reshape(B, K, d),
+      ancestry.reshape(B, K, T, 1), k4, v4,
       m_mat, mt_mat, wo3, bo3, so3)
     return out.reshape(N, d)
 

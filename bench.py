@@ -231,6 +231,32 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+# Wall-clock guard for the matrix: axon remote compiles cost minutes per
+# decode config; if the driver's bench window closes mid-matrix nothing
+# would be recorded at all. Entries are measured in priority order, each
+# is fault-isolated (an OOM records an "error" row instead of sinking the
+# whole bench), and once the budget is spent the rest are skipped with a
+# note — the final JSON line always appears.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+_T_START = time.monotonic()
+
+
+def _measure_into(matrix, key, label, fn, est_s=600.0):
+    left = BUDGET_S - (time.monotonic() - _T_START)
+    if left < est_s:
+        _log(f"skipping {label}: {left:.0f}s budget left < est {est_s:.0f}s")
+        matrix[key] = {"skipped": f"budget ({left:.0f}s left)"}
+        return None
+    _log(f"measuring {label}...")
+    try:
+        matrix[key] = fn()
+        return matrix[key]
+    except Exception as e:  # fault-isolate: e.g. an OOM on one decode shape
+        _log(f"{label} FAILED: {type(e).__name__}")
+        matrix[key] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+        return None
+
+
 def main():
     _init_backend_or_die()
     _log("measuring headline (peft parity)...")
@@ -242,24 +268,30 @@ def main():
         if os.environ.get("BENCH_SECONDARY", "1") != "0":
             # the decoder-only placement is the round-2 configuration; keep
             # it visible next to the reference-parity headline
-            _log("measuring peft decoder-only secondary...")
-            matrix["peft_decoder"] = measure_train("peft", "decoder", MODEL)
-            result["secondary"] = matrix["peft_decoder"]
+            sec = _measure_into(matrix, "peft_decoder",
+                                "peft decoder-only secondary",
+                                lambda: measure_train("peft", "decoder",
+                                                      MODEL), est_s=300)
+            if sec:
+                result["secondary"] = sec
     if MATRIX and MODE == "peft":
         # BASELINE.json config #2: whisper-small full FT + SpecAugment
-        _log("measuring full fine-tune (small + SpecAugment)...")
-        matrix["full_ft"] = measure_train("full", "all", "small")
+        _measure_into(matrix, "full_ft",
+                      "full fine-tune (small + SpecAugment)",
+                      lambda: measure_train("full", "all", "small"),
+                      est_s=300)
         # config #5: batched eval decode, greedy sweep + int8 variant + beam
         greedy = {}
-        for bs in (8, 16, 32):
-            _log(f"measuring greedy decode bs={bs}...")
-            greedy[f"bs{bs}"] = measure_decode(bs, 1)
-        _log("measuring greedy decode bs=16 int8-streaming...")
-        greedy["bs16_int8"] = measure_decode(16, 1, kv_int8=True,
-                                             w_int8=True)
         matrix["decode_greedy"] = greedy
-        _log("measuring beam-4 decode bs=8...")
-        matrix["decode_beam"] = {"bs8": measure_decode(8, 4)}
+        _measure_into(matrix, "decode_beam_bs8", "beam-4 decode bs=8",
+                      lambda: measure_decode(8, 4), est_s=700)
+        for bs in (8, 16, 32):
+            _measure_into(greedy, f"bs{bs}", f"greedy decode bs={bs}",
+                          lambda bs=bs: measure_decode(bs, 1), est_s=600)
+        _measure_into(greedy, "bs16_int8", "greedy decode bs=16 int8",
+                      lambda: measure_decode(16, 1, kv_int8=True,
+                                             w_int8=True), est_s=600)
+        matrix["decode_beam"] = {"bs8": matrix.pop("decode_beam_bs8")}
         result["matrix"] = matrix
     print(json.dumps(result))
 

@@ -108,6 +108,51 @@ def test_compiled_cross_attn_stacked(keys):
                                    err_msg=f"layer={l}")
 
 
+def test_compiled_beam_attn(keys):
+    """Ancestry-masked beam self-attention (unpermuted cache), compiled.
+
+    The mask build inside _attn_beam_kernel is layout-sensitive (Mosaic
+    rejects lane-major->sublane-major shape casts); this pins the compiled
+    path so a relayout regression can't ship on the strength of the
+    interpret-mode suite alone."""
+    Bg, K = 2, 4
+    N = Bg * K
+    x = _rand(keys[0], N, D)
+    q = _rand(keys[1], N, D)
+    k = _rand(keys[2], N, T, D)
+    v = _rand(keys[3], N, T, D)
+    wo, bo = _rand(keys[4], D, D), _rand(keys[5], D)
+    anc = jax.random.randint(keys[6], (Bg, K, T), 0, K)
+
+    kn, vn, an = np.asarray(k), np.asarray(v), np.asarray(anc)
+    kg, vg = np.zeros_like(kn), np.zeros_like(vn)
+    for b in range(Bg):
+        for kq in range(K):
+            rows = b * K + an[b, kq]
+            kg[b * K + kq] = kn[rows, np.arange(T)]
+            vg[b * K + kq] = vn[rows, np.arange(T)]
+
+    for pos in (0, 127, 200):
+        out = DF.fused_attn_beam(x, k, v, wo, bo, q=q, pos=jnp.int32(pos),
+                                 ancestry=anc, interpret=False)
+        qh = np.asarray(q).reshape(N, 1, H, HD)
+        logits = np.einsum("bqhd,bkhd->bhqk", qh, kg.reshape(N, T, H, HD))
+        logits = np.where((np.arange(T) <= pos)[None, None, None, :],
+                          logits, -np.inf)
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        p = e / e.sum(-1, keepdims=True)
+        attn = np.einsum("bhqk,bkhd->bqhd", p,
+                         vg.reshape(N, T, H, HD)).reshape(N, D)
+        ref = np.asarray(x) + attn @ np.asarray(wo) + np.asarray(bo)
+        # 3e-2 like the cross-attn test: the in-kernel qk->softmax->pv->wo
+        # chain runs f32 matmuls at the MXU's DEFAULT (bf16-pass) precision
+        # vs an exact numpy reference (measured drift max 1.9e-2); masking
+        # or ancestry-indexing regressions produce O(1) errors and still
+        # fail.
+        np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2,
+                                   err_msg=f"pos={pos}")
+
+
 def test_compiled_mlp(keys):
     ff = 4 * D
     x = _rand(keys[15], B, D)
