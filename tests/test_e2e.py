@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # mini-trainings: minutes each on CPU
+
 from asr_finetune_tpu import config as config_lib
 from asr_finetune_tpu import run as run_lib
 from asr_finetune_tpu.data.hdf5 import make_synthetic_dataset

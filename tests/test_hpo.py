@@ -120,6 +120,7 @@ def test_grace_period_heuristic():
     assert calculate_grace_period(80, 8) == 10
 
 
+@pytest.mark.slow
 def test_experiment_e2e(tmp_path):
     from asr_finetune_tpu import config as config_lib
     from asr_finetune_tpu.data.hdf5 import make_synthetic_dataset
@@ -185,6 +186,7 @@ def test_searcher_state_exact_resume():
     assert r1.suggest() == r2.suggest()
 
 
+@pytest.mark.slow
 def test_pbt_clone_checkpoint_restore(tmp_path):
     """VERDICT r2 task 5 (mechanics): PBT's exploit path copytrees a donor's
     Orbax checkpoint dir over the member's and resumes training from it —
@@ -239,6 +241,7 @@ def test_pbt_clone_checkpoint_restore(tmp_path):
     ck.close()
 
 
+@pytest.mark.slow
 def test_pbt_experiment_e2e(tmp_path):
     """VERDICT r2 task 5 (e2e): _run_pbt with a 3-member population over 2
     segments; at least one member exploits (clone recorded), every member

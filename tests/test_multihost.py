@@ -11,7 +11,11 @@ import re
 import subprocess
 import sys
 
+import pytest
+
 from asr_finetune_tpu.data.hdf5 import make_synthetic_dataset
+
+pytestmark = pytest.mark.slow  # spawns 2 jax.distributed processes
 
 
 def test_two_process_distributed_train_step(tmp_path):
