@@ -123,6 +123,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "activations (bench_quant_numerics.py) while being "
                         "loss-neutral e2e when no outliers are present "
                         "(bench_int8_outlier_ab.py)")
+    p.add_argument("--int8_outlier_calibrate",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="with --int8_matmul and outlier cols > 0: record "
+                        "column amax over one eval batch at startup and "
+                        "install bitsandbytes' threshold-rule outlier "
+                        "columns as STATIC per-shape sets (exact bnb "
+                        "semantics: only features whose |activation| "
+                        "crosses the threshold are decomposed — none on "
+                        "outlier-free data). Removes the per-matmul "
+                        "dynamic ranking (~8%% of the large-v3 parity "
+                        "step). --no-int8_outlier_calibrate keeps the "
+                        "per-matmul dynamic top-k")
+    p.add_argument("--int8_outlier_threshold", type=float, default=6.0,
+                   help="calibration threshold on |activation| for outlier "
+                        "columns (bitsandbytes Linear8bitLt default 6.0)")
     p.add_argument("--lora_rank", type=int, default=8)
     p.add_argument("--lora_alpha", type=float, default=16.0)
     p.add_argument("--lora_targets", type=str, default="all",

@@ -385,7 +385,13 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
     no_ts_id = (no_timestamps_id if no_timestamps_id is not None
                 else (timestamp_begin - 1 if with_ts else 0))
     if fused is None:
-        fused = _fused_default(cfg)
+        # the ancestry beam kernel unrolls its per-query loop — quadratic
+        # compile time/MXU work in K — so wide beams take the reorder path
+        fused = _fused_default(cfg) and K <= 8
+    elif fused and K > 8:
+        raise ValueError(
+            f"fused beam decode is tuned for num_beams <= 8 (got {K}); "
+            "pass fused=False (cache-reorder path) for wider beams")
     elif fused and not _fused_head_dim_ok(cfg):
         raise ValueError(
             f"fused decode requires 64-dim heads, got "
@@ -434,7 +440,8 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
 
     # beam-ancestry map (fused path): anc[b, k, τ] = the beam ROW whose
     # unpermuted cache slot τ holds hypothesis (b, k)'s history — gathered
-    # on the beam axis each step (16 KB) so the CACHE never is (the
+    # on the beam axis each step (B·K·cache_len·4 B, ~64 KB at bs 8 /
+    # beam 4 / cache 512) so the CACHE never is (the
     # conventional full-cache reorder costs ~1.3 GB/step at large-v3
     # beam-4; see ops/decoder_fused.fused_attn_beam)
     anc0 = jnp.zeros((B, K, cache_len), jnp.int32)

@@ -832,7 +832,7 @@ def decode_step_fused(params: Params, token: jax.Array, pos: jax.Array,
     and the caller never reorders the cache on the beam axis — the per-step
     full-cache gather that dominates conventional beam decoding (HF
     generate's `_reorder_cache`, which the reference inherits) is replaced
-    by a 16 KB ancestry gather.
+    by a B·K·T·4-byte ancestry gather (~64 KB at bs 8 / beam 4 / T 512).
     """
     from ..ops import decoder_fused as DF
 

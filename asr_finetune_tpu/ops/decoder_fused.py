@@ -447,7 +447,8 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
 # This kernel removes the reorder: cache rows are never permuted; a tiny
 # ancestry map anc (B, K, T) int32 — anc[b, k, τ] = the beam ROW whose cache
 # slot τ holds hypothesis (b,k)'s key at position τ — is gathered on the
-# beam axis instead (16 KB, not 1.3 GB). Attention then reads ALL K rows of
+# beam axis instead (B·K·T·4 B — ~64 KB at bs 8 / beam 4 / cache 512,
+# not 1.3 GB). Attention then reads ALL K rows of
 # the batch group (the same bytes a reorder-free step must stream anyway)
 # and masks each query's scores with `row == anc[kq, τ]`: per hypothesis
 # exactly one row is live at every position, so softmax semantics are
@@ -536,6 +537,15 @@ def fused_attn_beam(x: jax.Array, k: jax.Array, v: jax.Array,
     N, d = x.shape
     B, K, T_anc = ancestry.shape
     assert N == B * K, (N, B, K)
+    # The per-query loop over the K beam rows is fully UNROLLED and each
+    # query scores all K·Tc cached rows, so compile time and redundant MXU
+    # work grow quadratically in K. Fine while bandwidth-bound at the
+    # reference's beam sizes (<= 8, generation_num_beams default 4); route
+    # larger beams through the cache-reorder path instead of silently
+    # compiling a quadratic kernel (round-4 advisor finding).
+    assert K <= 8, (
+        f"fused_attn_beam is tuned for num_beams <= 8 (got K={K}); "
+        "use the non-fused decode path (fused=False) for wider beams")
     T = k4.shape[2]
     assert T_anc == T, (T_anc, T)
     Tc = _pick_tc(T)

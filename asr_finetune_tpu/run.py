@@ -372,6 +372,59 @@ def run_trial(args, hp: Optional[Dict[str, Any]] = None,
     train_iter_factory, eval_batches_fn, n_train, num_shards = build_data(
         args, built.tokenizer, cfg)
 
+    # bnb-parity outlier calibration: with an int8 base and outlier
+    # handling on, record per-matmul column amax over one eval batch and
+    # install bitsandbytes' threshold-6.0 columns as STATIC per-shape
+    # sets (ops/quant.calibrate_int8_outliers) — the frozen base's
+    # emergent outlier features are stationary, and the per-matmul
+    # dynamic ranking + padded side-matmuls cost ~8% of the large-v3
+    # parity step. Runs on the CPU backend (TPU PJRT plugins may lack
+    # host callbacks), BEFORE the train step is traced so the step
+    # consumes the calibrated sets. Multi-host: every process calibrates
+    # on the SAME full batch (process_index=0/count=1 reads all audio
+    # rows) so all processes install identical maps and trace identical
+    # programs. --no-int8_outlier_calibrate restores dynamic top-k.
+    if (args.peft and args.load_in_8bit
+            and getattr(args, "int8_matmul", False)
+            and getattr(args, "int8_outlier_cols", 0)
+            and getattr(args, "int8_outlier_calibrate", True)):
+        from .ops import quant
+        from .training.train_step import make_eval_loss_step
+        cpu = jax.devices("cpu")[0]
+        cb = dict(eval_batches_fn(0, process_index=0, process_count=1)[0])
+        cb = {k: (jax.device_put(np.asarray(v)[:4], cpu)
+                  if hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0
+                  else v)
+              for k, v in cb.items()
+              if k in ("audio", "input_features", "decoder_input_ids",
+                       "labels")}
+        cstate = jax.device_put({"params": built.params,
+                                 "adapters": built.adapters}, cpu)
+        # pure-XLA attention + no remat: Pallas TPU kernels can't run on
+        # the CPU devices this one-off calibration forward executes on.
+        # ASR_TPU_ATTN_IMPL=xla covers the dispatch sites an impl="xla"
+        # config doesn't reach (the decoder promotes cross-attention back
+        # to "auto"); it is read at trace time, which happens inside
+        # calibrate_int8_outliers.
+        ccfg = dataclasses.replace(step_cfg, attn_impl="xla",
+                                   decoder_attn_impl="xla", remat=False)
+        estep = jax.jit(make_eval_loss_step(cfg, ccfg))
+        prev_impl = os.environ.get("ASR_TPU_ATTN_IMPL")
+        os.environ["ASR_TPU_ATTN_IMPL"] = "xla"
+        try:
+            idx_map = quant.calibrate_int8_outliers(
+                lambda: jax.block_until_ready(estep(cstate, cb)),
+                threshold=getattr(args, "int8_outlier_threshold", 6.0),
+                max_cols=getattr(args, "int8_outlier_cols", 8) * 2)
+        finally:
+            if prev_impl is None:
+                os.environ.pop("ASR_TPU_ATTN_IMPL", None)
+            else:
+                os.environ["ASR_TPU_ATTN_IMPL"] = prev_impl
+        logger.info("int8 outlier calibration (thr %.1f): %s",
+                    getattr(args, "int8_outlier_threshold", 6.0),
+                    {k: len(v) for k, v in idx_map.items()})
+
     batch_size = args.per_device_train_batch_size * mesh.shape[mesh_lib.DATA_AXIS]
     max_steps = max_steps_override or args.max_steps or (
         (n_train // max(batch_size, 1)) * args.num_train_epochs)

@@ -51,6 +51,7 @@ def test_classify_pipeline_csv(tmp_path):
     assert len(rows2) == len(rows)
 
 
+@pytest.mark.slow  # multi-minute on CPU (tests/README.md timings)
 def test_llm_classifier_hf_pipeline_end_to_end(tmp_path):
     """VERDICT r2 task 10: drive the HF-pipeline LLMClassifier (the primary
     analysis mode, reference classify_errors_hf.py:60-140) end-to-end with

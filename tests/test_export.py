@@ -4,6 +4,7 @@ Covers the PEFT merge path end-to-end: train a nano PEFT trial, export
 with adapters folded in, reload via models/native_io, and assert the
 merged standalone model reproduces the (base + adapters) forward.
 """
+import pytest
 import os
 
 import jax
@@ -18,6 +19,7 @@ from asr_finetune_tpu.models import native_io
 from asr_finetune_tpu.models import whisper as W
 
 
+@pytest.mark.slow  # multi-minute on CPU (tests/README.md timings)
 def test_export_merged_model_matches_adapter_forward(tmp_path):
     data = str(tmp_path / "train.h5")
     make_synthetic_dataset(data, n=48, seed=0, min_sec=0.5, max_sec=1.0)

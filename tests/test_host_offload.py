@@ -8,6 +8,7 @@ Runs on the 8-virtual-device CPU mesh; CPU devices expose the same
 'pinned_host' memory kind as TPU, so placement semantics (memory_kind on
 the committed sharding) and numerics are exercised for real.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -93,6 +94,7 @@ def test_host_offload_shardings_memory_kind():
         assert h.spec == d.spec
 
 
+@pytest.mark.slow  # multi-minute on CPU (tests/README.md timings)
 def test_offloaded_optimizer_matches_resident():
     mesh = mesh_lib.create_mesh()
     s_ref, step_ref = _peft_setup(mesh)
@@ -112,6 +114,7 @@ def test_offloaded_optimizer_matches_resident():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # multi-minute on CPU (tests/README.md timings)
 def test_offloaded_frozen_base_matches_resident():
     mesh = mesh_lib.create_mesh()
     s_ref, step_ref = _peft_setup(mesh)

@@ -141,6 +141,123 @@ def test_int8_matmul_outlier_decomposition_recovers_accuracy():
     assert rel_err(quant.int8_matmul(x, q["w_q8"], q["w_scale"])) == plain
 
 
+def test_int8_outlier_matmul_form_matches_gather_form():
+    """Round-5 perf rewrite guard: the MXU-friendly outlier path (one-hot
+    selection matmuls, native-dtype ranking pass, mask = 1 - sum(one_hot))
+    must be numerically identical to the round-4 gather/scatter
+    formulation it replaced (quant.py round-4 `jnp.take` + `.at[].set`).
+    One-hot products are x_i*{0,1} (exact in any dtype) and int8 weight
+    values are exact in bf16, so the two forms agree to f32 exactness."""
+    from asr_finetune_tpu.ops import quant
+
+    def gather_form(x, w_q8, w_scale, k):
+        # verbatim round-4 formulation
+        x32 = x.astype(jnp.float32)
+        d_in = x32.shape[-1]
+        col_amax = jnp.max(jnp.abs(x32.reshape(-1, d_in)), axis=0)
+        _, idx = jax.lax.top_k(col_amax, k)
+        x_outl = jnp.take(x32, idx, axis=-1)
+        w_outl = (jnp.take(w_q8, idx, axis=0).astype(jnp.float32)
+                  * w_scale.reshape(1, -1).astype(jnp.float32))
+        y_out = jax.lax.dot_general(
+            x_outl, w_outl, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        keep = jnp.ones((d_in,), jnp.float32).at[idx].set(0.0)
+        x32 = x32 * keep
+        amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+        xs = jnp.maximum(amax, 1e-8) / 127.0
+        x8 = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
+        y32 = jax.lax.dot_general(
+            x8, w_q8, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = (y32.astype(jnp.float32) * xs
+             * w_scale.reshape(-1).astype(jnp.float32)) + y_out
+        return y.astype(x.dtype)
+
+    rng = np.random.default_rng(7)
+    for dtype in (np.float32, jnp.bfloat16):
+        x = rng.standard_normal((4, 24, 160)).astype(np.float32)
+        x[..., [3, 90, 141]] *= 40.0
+        x = jnp.asarray(x).astype(dtype)
+        w = jnp.asarray(
+            (rng.standard_normal((160, 192)) * 0.05).astype(np.float32))
+        q = quant.quantize_weight(w)
+        ref = gather_form(x, q["w_q8"], q["w_scale"], 4)
+        try:
+            quant.set_int8_outlier_cols(4)
+            got = jax.jit(quant.int8_matmul)(x, q["w_q8"], q["w_scale"])
+        finally:
+            quant.set_int8_outlier_cols(0)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-6, atol=2e-6)
+
+
+def test_calibrated_outliers_match_dynamic():
+    """bnb-faithful calibration (quant.calibrate_int8_outliers): recording
+    one forward installs static per-shape-class outlier columns; on
+    stationary outliers the static path picks the same columns as the
+    per-matmul dynamic top-k and produces the same result — without the
+    per-matmul ranking pass. Recording must work under jit + lax.scan
+    (the model's layer loop)."""
+    from asr_finetune_tpu.ops import quant
+    rng = np.random.default_rng(11)
+    OUTL = [5, 77, 120]
+
+    def make_x():
+        x = rng.standard_normal((4, 16, 128)).astype(np.float32)
+        x[..., OUTL] *= 30.0  # stationary emergent features, amax >> 6.0
+        return jnp.asarray(x)
+
+    x = make_x()
+    w = jnp.asarray((rng.standard_normal((2, 128, 64)) * 0.05)
+                    .astype(np.float32))
+    q = quant.quantize_weight(w)  # stacked (L=2, 128, 64)
+
+    def make_fwd():
+        # a NEW function object each time: jax caches traces by function
+        # identity, and calibration recording is baked in at trace time
+        def fwd(x):
+            def body(c, lw):
+                w_q8, w_s = lw
+                # scan over layers, recording fires once per layer
+                y = quant.int8_matmul(c, w_q8, w_s)
+                return c, jnp.sum(y)
+            _ = jax.lax.scan(body, x, (q["w_q8"], q["w_scale"]))
+            return quant.int8_matmul(x, q["w_q8"][0], q["w_scale"][0])
+        return jax.jit(fwd)
+
+    try:
+        quant.set_int8_outlier_cols(3)
+        dynamic = np.asarray(make_fwd()(x))
+        idx_map = quant.calibrate_int8_outliers(lambda: make_fwd()(x),
+                                                threshold=6.0)
+        assert idx_map == {(128, 64): tuple(OUTL)}, idx_map
+        static = np.asarray(jax.jit(
+            lambda x: quant.int8_matmul(x, q["w_q8"][0],
+                                        q["w_scale"][0]))(x))
+        np.testing.assert_allclose(static, dynamic, rtol=2e-6, atol=2e-6)
+
+        # no outliers anywhere -> empty calibrated set -> pure int8 path,
+        # identical to k=0
+        x_clean = jnp.asarray(
+            rng.standard_normal((4, 16, 128)).astype(np.float32))
+        quant.calibrate_int8_outliers(
+            lambda: quant.int8_matmul(x_clean, q["w_q8"][0],
+                                      q["w_scale"][0]), threshold=6.0)
+        assert quant._INT8_STATIC_IDX == {(128, 64): ()}
+        with_calib = np.asarray(
+            quant.int8_matmul(x_clean, q["w_q8"][0], q["w_scale"][0]))
+        quant.set_int8_outlier_cols(0)
+        quant.set_int8_outlier_static_idx(None)
+        plain = np.asarray(
+            quant.int8_matmul(x_clean, q["w_q8"][0], q["w_scale"][0]))
+        np.testing.assert_array_equal(with_calib, plain)
+    finally:
+        quant.set_int8_outlier_cols(0)
+        quant.set_int8_outlier_static_idx(None)
+
+
 def test_dense_int8_compute_toggle():
     """dense() uses the W8A8 path only while the global toggle is on."""
     from asr_finetune_tpu.ops import quant

@@ -9,6 +9,7 @@
     => bit-identical replay.
 """
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -82,6 +83,7 @@ def test_decoder_only_placement_leaves_encoder_unadapted():
     assert "encoder" not in adapters
 
 
+@pytest.mark.slow  # multi-minute on CPU (tests/README.md timings)
 def test_step_rng_seed_controls_augmentation():
     """Same seed => bit-identical adapters after a dropout-active step;
     different seed => different adapters (the dropout masks differ)."""
@@ -101,6 +103,7 @@ def test_step_rng_seed_controls_augmentation():
     assert max(diffs) > 0.0
 
 
+@pytest.mark.slow  # multi-minute on CPU (tests/README.md timings)
 def test_spec_augment_rng_seed_varies():
     """Full fine-tune with SpecAugment: different TrainStepConfig.seed =>
     different masks => different first-step grads/params."""

@@ -1,5 +1,6 @@
 """Train step semantics: loss decreases, PEFT trains only adapters,
 grad accumulation matches large-batch grads, schedules behave."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +22,7 @@ def _batch(rng, B=4, T=8, frames=60):
     return {"mel": mel, "decoder_input_ids": toks, "labels": labels}
 
 
+@pytest.mark.slow  # multi-minute on CPU (tests/README.md timings)
 def test_full_finetune_loss_decreases():
     params = W.init_params(jax.random.PRNGKey(0), CFG)
     tx = optim.make_optimizer(1e-3, max_steps=50, scheduler="constant")
@@ -58,6 +60,7 @@ def test_peft_only_adapters_change():
     assert float(m["loss"]) < float(m0["loss"])
 
 
+@pytest.mark.slow  # multi-minute on CPU (tests/README.md timings)
 def test_grad_accum_matches_full_batch():
     params = W.init_params(jax.random.PRNGKey(0), CFG)
     import optax as ox

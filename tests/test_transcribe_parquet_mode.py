@@ -23,6 +23,7 @@ def assets(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow  # multi-minute on CPU (tests/README.md timings)
 def test_train_from_parquet_mode(assets, tmp_path):
     from asr_finetune_tpu import run as run_lib
 

@@ -1,5 +1,6 @@
 """Concurrent trial packing on disjoint chip subsets (the reference's
 fractional-GPU equivalent): 2 trials x 4 chips on the virtual 8-CPU mesh."""
+import pytest
 import json
 
 from asr_finetune_tpu import config as config_lib
@@ -7,6 +8,7 @@ from asr_finetune_tpu.data.hdf5 import make_synthetic_dataset
 from asr_finetune_tpu.hpo import controller
 
 
+@pytest.mark.slow  # multi-minute on CPU (tests/README.md timings)
 def test_packed_trials_run_concurrently(tmp_path):
     make_synthetic_dataset(str(tmp_path / "d.h5"), n=48, seed=0,
                            min_sec=0.5, max_sec=1.0)
