@@ -25,15 +25,29 @@ def _round_up(n: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _flash_available() -> bool:
-    import os
-    if os.environ.get("ASR_TPU_ATTN_IMPL", "").lower() == "xla":
-        return False
+def _flash_import_ok() -> bool:
     try:
         from jax.experimental.pallas.ops.tpu import flash_attention  # noqa: F401
         return jax.default_backend() == "tpu"
     except Exception:  # noqa: BLE001
         return False
+
+
+def _flash_available() -> bool:
+    """Pallas attention kernels usable for the NEXT trace?
+
+    The ASR_TPU_ATTN_IMPL=xla escape hatch MUST be re-read on every call
+    (only the import + backend probe is cached): int8-outlier calibration
+    (run.py / bench.py) sets it temporarily around a CPU-backend forward
+    and restores it after. When this whole predicate was lru_cached, that
+    window poisoned the cache to False for the REST OF THE PROCESS — every
+    later trace (including the real TPU train step) silently fell back to
+    XLA attention, a deterministic ~2x step regression (measured 7.56 vs
+    14.7 utt/s/chip on the large-v3 parity config, round 5)."""
+    import os
+    if os.environ.get("ASR_TPU_ATTN_IMPL", "").lower() == "xla":
+        return False
+    return _flash_import_ok()
 
 
 def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,

@@ -89,4 +89,25 @@ def test_beam_decode_wide_beam_routes_off_fused_kernel():
     assert np.asarray(toks).shape[0] == 1
 
 
+def test_flash_available_not_poisoned_by_calibration_env(monkeypatch):
+    """int8-outlier calibration temporarily sets ASR_TPU_ATTN_IMPL=xla
+    around a CPU-backend forward (run.py, bench.py). When the whole
+    _flash_available predicate was lru_cached, any dispatch inside that
+    window cached False for the REST OF THE PROCESS, so the subsequent
+    real train-step trace silently lost the Pallas attention kernels —
+    a deterministic ~2x parity-step regression (7.56 vs 14.7 utt/s/chip,
+    round 5). The env-var escape hatch must be re-read on every call."""
+    from asr_finetune_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_flash_import_ok", lambda: True)
+    monkeypatch.delenv("ASR_TPU_ATTN_IMPL", raising=False)
+    assert A._flash_available() is True
+    # calibration window: env set, dispatch happens (the poisoning call)
+    monkeypatch.setenv("ASR_TPU_ATTN_IMPL", "xla")
+    assert A._flash_available() is False
+    # window closed: the next trace must get the kernels back
+    monkeypatch.delenv("ASR_TPU_ATTN_IMPL")
+    assert A._flash_available() is True
+
+
 import jax  # noqa: E402  (used by the routing test above)
