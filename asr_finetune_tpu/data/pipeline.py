@@ -185,6 +185,10 @@ def device_prefetch(it: Iterator[Dict[str, np.ndarray]],
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
     stop = threading.Event()
+    # producer exception, re-raised on the consumer side: without this, a
+    # pipeline error (e.g. the per-process-shard < batch ValueError) dies
+    # in the thread and the trainer only sees a bare StopIteration
+    err: list = []
 
     def produce():
         # put() with a timeout + stop poll: an abandoned consumer must not
@@ -202,6 +206,8 @@ def device_prefetch(it: Iterator[Dict[str, np.ndarray]],
                         continue
                 if stop.is_set():
                     return
+        except BaseException as e:  # noqa: BLE001 — carried to the consumer
+            err.append(e)
         finally:
             while not stop.is_set():
                 try:
@@ -219,6 +225,8 @@ def device_prefetch(it: Iterator[Dict[str, np.ndarray]],
         while True:
             b = q.get()
             if b is _END:
+                if err:
+                    raise err[0]
                 return
             if multihost and sharding is not None:
                 # each process feeds its local shard of the global batch

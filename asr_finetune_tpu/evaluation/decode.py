@@ -397,6 +397,13 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
             f"fused decode requires 64-dim heads, got "
             f"{cfg.d_model // cfg.decoder_heads} "
             f"(d_model={cfg.d_model}, heads={cfg.decoder_heads})")
+    # A/B escape hatch (benchmarks/bench_decode.py --beam_reorder): run the
+    # fused Pallas kernels but with the CONVENTIONAL per-step full-cache
+    # beam reorder (HF generate's `_reorder_cache`, which the reference
+    # inherits) instead of the ancestry-masked kernel — isolates the
+    # ancestry kernel's win with every other kernel/layout equal.
+    # Measured numbers: ARCHITECTURE.md round-5 section.
+    reorder = fused and os.environ.get("ASR_TPU_BEAM_REORDER", "0") == "1"
     if fused and adapters is not None:
         from ..training.lora import merge_adapters
         params = merge_adapters(params, adapters)
@@ -453,7 +460,7 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
          last_ts, done, anc) = carry
         cur = jax.lax.dynamic_index_in_dim(
             tokens.reshape(B * K, max_length), t, axis=1, keepdims=False)
-        if fused:
+        if fused and not reorder:
             # this step writes each row's own K/V at position t
             anc = jax.lax.dynamic_update_slice(anc, own_rows, (0, 0, t))
             logits, new_cache = step_fn(cur, t, cache, anc)
@@ -531,11 +538,13 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
             last_ts = jnp.take_along_axis(last_ts, beam_idx, axis=1)
             last_ts = jnp.where(tok_idx >= timestamp_begin, tok_idx, last_ts)
 
-        if fused:
+        if fused and not reorder:
             # gather the ancestry rows, not the cache
             anc = jnp.take_along_axis(anc, beam_idx[:, :, None], axis=1)
         else:
-            # XLA path: reorder cache on the beam dim, (L, B*K, T, ...)
+            # conventional path: reorder the FULL cache on the beam dim,
+            # (L, B*K, T, ...) — both the XLA layout and the fused dense
+            # (L, B*K, T, d) layout gather on axis 1
             flat_idx = (jnp.arange(B)[:, None] * K + beam_idx).reshape(-1)
             new_cache = {k: v[:, flat_idx] for k, v in new_cache.items()}
 

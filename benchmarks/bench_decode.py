@@ -35,7 +35,13 @@ def main(argv=None):
                    help="int8 decoder weights (halves weight HBM traffic)")
     p.add_argument("--fused", default=None,
                    help="1/0: force the fused Pallas decode path on/off")
+    p.add_argument("--beam_reorder", action="store_true",
+                   help="A/B: fused kernels but with the conventional "
+                        "per-step full-cache beam reorder instead of the "
+                        "ancestry-masked kernel (beams>1 only)")
     a = p.parse_args(argv)
+    if a.beam_reorder:
+        os.environ["ASR_TPU_BEAM_REORDER"] = "1"
 
     from asr_finetune_tpu.evaluation import decode as D
     from asr_finetune_tpu.models import whisper as W
@@ -67,7 +73,8 @@ def main(argv=None):
         "metric": f"decode ({a.model}, greedy x{a.beams} beams, "
                   f"bs={a.batch}, max_len={a.max_length}"
                   f"{', kv_int8' if a.kv_int8 else ''}"
-                  f"{', w_int8' if a.w_int8 else ''})",
+                  f"{', w_int8' if a.w_int8 else ''}"
+                  f"{', cache-reorder' if a.beam_reorder else ''})",
         "seconds_per_batch": round(dt, 3),
         "utterances_per_sec": round(a.batch / dt, 3),
         "tokens_per_sec": round(a.batch * a.max_length / dt, 1),

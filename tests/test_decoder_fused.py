@@ -242,6 +242,24 @@ def test_beam_fused_matches_unfused(tiny_setup):
     np.testing.assert_array_equal(np.asarray(t_fus), np.asarray(t_ref))
 
 
+def test_beam_fused_reorder_ab_matches_ancestry(tiny_setup, monkeypatch):
+    """ASR_TPU_BEAM_REORDER=1 (the A/B escape hatch: fused kernels +
+    conventional full-cache reorder instead of the ancestry kernel) must
+    produce the exact ancestry-path token stream."""
+    from asr_finetune_tpu.evaluation import decode as Dec
+    cfg, params, mel = tiny_setup
+    forced = [cfg.sot_token_id, cfg.transcribe_token_id,
+              cfg.no_timestamps_token_id]
+    t_anc, _ = Dec.beam_decode(params, mel, cfg, forced, max_length=16,
+                               num_beams=2, compute_dtype=jnp.float32,
+                               fused=True)
+    monkeypatch.setenv("ASR_TPU_BEAM_REORDER", "1")
+    t_reo, _ = Dec.beam_decode(params, mel, cfg, forced, max_length=16,
+                               num_beams=2, compute_dtype=jnp.float32,
+                               fused=True)
+    np.testing.assert_array_equal(np.asarray(t_reo), np.asarray(t_anc))
+
+
 def test_greedy_fused_with_adapters_merged(tiny_setup):
     """Fused decode with LoRA adapters = non-fused with adapters applied."""
     from asr_finetune_tpu.evaluation import decode as Dec

@@ -111,3 +111,20 @@ def test_flash_available_not_poisoned_by_calibration_env(monkeypatch):
 
 
 import jax  # noqa: E402  (used by the routing test above)
+
+
+def test_device_prefetch_reraises_producer_exception():
+    """A pipeline error inside the prefetch producer thread must surface
+    to the training loop as the ORIGINAL exception, not a bare
+    StopIteration (found via the unmarked e2e smoke: the per-process-shard
+    < global-batch ValueError died silently in the thread)."""
+    from asr_finetune_tpu.data.pipeline import device_prefetch
+
+    def bad_iter():
+        yield {"labels": np.zeros((2, 4), np.int32)}
+        raise ValueError("shard smaller than batch")
+
+    it = device_prefetch(bad_iter(), sharding=None)
+    next(it)  # the good batch flows through
+    with pytest.raises(ValueError, match="shard smaller"):
+        next(it)
