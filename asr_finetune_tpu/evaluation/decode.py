@@ -409,8 +409,12 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
         params = merge_adapters(params, adapters)
         adapters = None
 
+    # cross K/V stays at B rows — the K hypotheses of an utterance share
+    # their cross-attention K/V (cross_group in the step fns). Replicating
+    # it per beam row (jnp.repeat(enc_out, K)) costs K× the decode's
+    # dominant memory AND K× its dominant HBM read: large-v3 bs16·beam4
+    # per-row cross KV alone is 15.7 GB of the 15.75 GB chip.
     enc_out = W.encode(params, mel, cfg, adapters, compute_dtype)
-    enc_out = jnp.repeat(enc_out, K, axis=0)          # (B*K, S, d)
     cross_kv = W.precompute_cross_kv(params, enc_out, cfg, adapters)
     if kv_int8:
         cross_kv = W.quantize_cross_kv(cross_kv)
@@ -429,9 +433,9 @@ def beam_decode(params: Params, mel: jax.Array, cfg: WhisperConfig,
         if fused:
             return W.decode_step_fused(params, cur, t, cache, cross_kv,
                                        cfg, s_real, compute_dtype,
-                                       ancestry=anc)
+                                       ancestry=anc, cross_group=K)
         return W.decode_step(params, cur, t, cache, cross_kv, cfg,
-                             adapters, compute_dtype)
+                             adapters, compute_dtype, cross_group=K)
 
     tokens0 = jnp.full((B, K, max_length), eot, jnp.int32).at[:, :, 0].set(forced[0])
     # beam 0 active, others start at -inf so step 1 doesn't duplicate

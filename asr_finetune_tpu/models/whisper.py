@@ -731,11 +731,17 @@ def precompute_cross_kv(params: Params, enc_out: jax.Array, cfg: WhisperConfig,
 def decode_step(params: Params, token: jax.Array, pos: jax.Array,
                 cache: Params, cross_kv: Params, cfg: WhisperConfig,
                 adapters: Optional[Params] = None,
-                compute_dtype: jnp.dtype = jnp.bfloat16) -> Tuple[jax.Array, Params]:
+                compute_dtype: jnp.dtype = jnp.bfloat16,
+                cross_group: int = 1) -> Tuple[jax.Array, Params]:
     """One autoregressive step.
 
     token (B,) int32, pos () int32 current position; returns
     (logits (B, vocab) fp32, updated cache).
+
+    cross_group=K > 1 (beam search): cross_kv has B//K batch rows —
+    consecutive groups of K token rows (the K hypotheses of one utterance)
+    share the row's cross K/V, so the dominant decode-memory tensor is
+    never replicated per beam (15.7 GB → 3.9 GB at large-v3 bs16·beam4).
     """
     dec = params["decoder"]
     B = token.shape[0]
@@ -773,7 +779,14 @@ def decode_step(params: Params, token: jax.Array, pos: jax.Array,
         h = layer_norm(x, lp["ln2"])
         cq = ca_l.get("q") if ca_l else None
         q2 = _split_heads(dense(h, lp["cross_attn"]["q"], cq), cfg.decoder_heads)
-        attn2 = attention(q2, xk.astype(x.dtype), xv.astype(x.dtype))
+        if cross_group > 1:
+            # beam groups share xk/xv: fold the K beam queries into the
+            # query-position axis of one shared-KV attention
+            q2g = q2.reshape((B // cross_group, cross_group) + q2.shape[2:])
+            attn2 = attention(q2g, xk.astype(x.dtype), xv.astype(x.dtype))
+            attn2 = attn2.reshape(q2.shape)
+        else:
+            attn2 = attention(q2, xk.astype(x.dtype), xv.astype(x.dtype))
         x = x + dense(_merge_heads(attn2), lp["cross_attn"]["o"])
 
         h = layer_norm(x, lp["ln3"])
@@ -804,7 +817,8 @@ def decode_step_fused(params: Params, token: jax.Array, pos: jax.Array,
                       cache: Params, cross_kv: Params, cfg: WhisperConfig,
                       s_valid: int,
                       compute_dtype: jnp.dtype = jnp.bfloat16,
-                      ancestry: Optional[jax.Array] = None
+                      ancestry: Optional[jax.Array] = None,
+                      cross_group: int = 1
                       ) -> Tuple[jax.Array, Params]:
     """One autoregressive step through the fused Pallas layer kernels
     (ops/decoder_fused.py): 4 bandwidth-bound kernels per layer instead of
@@ -833,6 +847,12 @@ def decode_step_fused(params: Params, token: jax.Array, pos: jax.Array,
     full-cache gather that dominates conventional beam decoding (HF
     generate's `_reorder_cache`, which the reference inherits) is replaced
     by a B·K·T·4-byte ancestry gather (~64 KB at bs 8 / beam 4 / T 512).
+
+    cross_group=K (beam search): cross_kv holds B//K batch rows shared by
+    each utterance's K hypotheses — the cross-attention kernel streams each
+    KV chunk once per group (K× less HBM traffic on the dominant cross-KV
+    read) and the cross cache is never replicated per beam (K× less HBM:
+    the per-row layout OOMs large-v3 at bs 16 × 4 beams).
     """
     from ..ops import decoder_fused as DF
 
@@ -901,7 +921,8 @@ def decode_step_fused(params: Params, token: jax.Array, pos: jax.Array,
                           ln_bias=lay["ln2"]["bias"],
                           wq=cq_, bq=ca["q"]["b"],
                           k_scale=xk_s, v_scale=xv_s,
-                          wq_scale=csq_, wo_scale=cso_, layer_idx=l)
+                          wq_scale=csq_, wo_scale=cso_, layer_idx=l,
+                          kv_group=cross_group)
         x = DF.fused_mlp(x, lay["ln3"]["scale"], lay["ln3"]["bias"],
                          w1_, mlp["fc1"]["b"], w2_, mlp["fc2"]["b"],
                          w1_scale=s1_, w2_scale=s2_, layer_idx=l)

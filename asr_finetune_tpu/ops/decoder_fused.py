@@ -214,7 +214,7 @@ def _attn_kernel(l_ref, pos_ref, q_ref, xres_ref, lns_ref, lnb_ref, wq_ref,
                  bq_ref, k_ref, v_ref, ksc_ref, vsc_ref, m_ref, mt_ref,
                  wo_ref, bo_ref, sq_ref, so_ref, out_ref,
                  q_s, acc_s, m_s, l_s,
-                 *, Tc, n_j, s_valid, q_in_kernel, q_scale, quantized,
+                 *, G, Tc, n_j, s_valid, q_in_kernel, q_scale, quantized,
                  wq_quant, wo_quant):
     del l_ref  # consumed by the BlockSpec index_maps
     j = pl.program_id(1)
@@ -225,7 +225,7 @@ def _attn_kernel(l_ref, pos_ref, q_ref, xres_ref, lns_ref, lnb_ref, wq_ref,
         l_s[:] = jnp.zeros_like(l_s)
         acc_s[:] = jnp.zeros_like(acc_s)
         if q_in_kernel:
-            h = _ln(xres_ref[0], lns_ref[0], lnb_ref[0])
+            h = _ln(xres_ref[0], lns_ref[0], lnb_ref[0])   # (G, d)
             h = h.astype(xres_ref.dtype)
             wqm = wq_ref[0].astype(h.dtype)
             q = jnp.dot(h, wqm, preferred_element_type=jnp.float32)
@@ -238,7 +238,8 @@ def _attn_kernel(l_ref, pos_ref, q_ref, xres_ref, lns_ref, lnb_ref, wq_ref,
             # fold K's per-(batch, head) dequant scale into q once per row:
             # (k_q8 ⊙ ksc) · q == k_q8 · (q ⊙ ksc). V's scale folds into the
             # accumulator at finalize. The streamed chunks then pay only the
-            # int8→compute cast, not two dequant multiplies.
+            # int8→compute cast, not two dequant multiplies. (Shared-KV beam
+            # groups: one (1, d) scale row broadcasts over the G queries.)
             q = q * ksc_ref[0, 0].astype(jnp.float32)
         q_s[:] = q
 
@@ -247,8 +248,6 @@ def _attn_kernel(l_ref, pos_ref, q_ref, xres_ref, lns_ref, lnb_ref, wq_ref,
     if quantized:
         k = k.astype(m_ref.dtype)
         v = v.astype(m_ref.dtype)
-    tmp = k * q_s[:].astype(k.dtype)                      # (Tc, d)
-    s = jnp.dot(tmp, m_ref[:], preferred_element_type=jnp.float32)  # (Tc, HP)
 
     # mask invalid key rows: self-attn → col > pos; cross-attn → padded tail
     col = j * Tc + jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0)
@@ -256,21 +255,32 @@ def _attn_kernel(l_ref, pos_ref, q_ref, xres_ref, lns_ref, lnb_ref, wq_ref,
         valid = col < s_valid
     else:
         valid = col <= pos_ref[0]
-    s = jnp.where(valid, s, NEG)
 
-    m_new = jnp.maximum(m_s[:], jnp.max(s, axis=0, keepdims=True))  # (1, HP)
-    corr = jnp.exp(m_s[:] - m_new)
-    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)          # (Tc, HP)
-    l_s[:] = l_s[:] * corr + jnp.sum(p, axis=0, keepdims=True)
-    m_s[:] = m_new
+    # G queries share this KV chunk (beam search: the K hypotheses of one
+    # utterance attend the SAME cross K/V — streaming the chunk once for
+    # all of them divides the dominant cross-KV HBM traffic by K). The
+    # loop is unrolled (G <= 8, asserted in the wrapper); G=1 emits
+    # exactly the single-query sequence.
+    for kq in range(G):
+        tmp = k * q_s[kq:kq + 1, :].astype(k.dtype)        # (Tc, d)
+        s = jnp.dot(tmp, m_ref[:], preferred_element_type=jnp.float32)  # (Tc, HP)
+        s = jnp.where(valid, s, NEG)
 
-    # pv[h, :] = sum_t p[t, h] * v[t, :]; keep only each head's own block
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # (HP, d)
-    corr_d = jnp.dot(corr, mt_ref[:], preferred_element_type=jnp.float32)
-    acc_s[:] = acc_s[:] * corr_d + jnp.sum(
-        pv * mt_ref[:].astype(jnp.float32), axis=0, keepdims=True)
+        m_new = jnp.maximum(m_s[kq:kq + 1, :],
+                            jnp.max(s, axis=0, keepdims=True))  # (1, HP)
+        corr = jnp.exp(m_s[kq:kq + 1, :] - m_new)
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)      # (Tc, HP)
+        l_s[kq:kq + 1, :] = l_s[kq:kq + 1, :] * corr \
+            + jnp.sum(p, axis=0, keepdims=True)
+        m_s[kq:kq + 1, :] = m_new
+
+        # pv[h, :] = sum_t p[t, h] * v[t, :]; keep each head's own block
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (HP, d)
+        corr_d = jnp.dot(corr, mt_ref[:], preferred_element_type=jnp.float32)
+        acc_s[kq:kq + 1, :] = acc_s[kq:kq + 1, :] * corr_d + jnp.sum(
+            pv * mt_ref[:].astype(jnp.float32), axis=0, keepdims=True)
 
     @pl.when(j == n_j - 1)
     def _fin():
@@ -279,7 +289,7 @@ def _attn_kernel(l_ref, pos_ref, q_ref, xres_ref, lns_ref, lnb_ref, wq_ref,
         if quantized:
             acc = acc * vsc_ref[0, 0].astype(jnp.float32)  # V dequant, once
         o_dt = xres_ref.dtype
-        o = (acc / l_exp).astype(o_dt)                     # (1, d)
+        o = (acc / l_exp).astype(o_dt)                     # (G, d)
         wom = wo_ref[0].astype(o_dt)
         out = jnp.dot(o, wom, preferred_element_type=jnp.float32)
         if wo_quant:
@@ -311,6 +321,7 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
                wq_scale: Optional[jax.Array] = None,
                wo_scale: Optional[jax.Array] = None,
                layer_idx=None,
+               kv_group: int = 1,
                interpret: Optional[bool] = None) -> jax.Array:
     """Single-query attention over dense KV + output proj + residual.
 
@@ -320,6 +331,13 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
     Cross-attention: pass ln_scale/ln_bias/wq/bq instead (q computed
     in-kernel) and s_valid = real source length (the padded tail beyond it
     is masked).
+    kv_group=G > 1 (beam search cross-attention): x has B·G rows but k/v
+    only B — consecutive groups of G query rows (the K hypotheses of one
+    utterance) SHARE KV row b = row // G. The kernel streams each KV chunk
+    once per group and loops the G queries over it, so cross-KV HBM
+    traffic AND cross-KV memory drop G× vs materializing per-row copies
+    (which OOMs large-v3 at bs 16 × 4 beams: 15.7 GB of the 15.75 GB HBM).
+    Semantics are exactly per-row attention — same ops per query.
     int8 KV: k/v int8 with k_scale/v_scale (B, d) per-(batch, head) dequant
     scales expanded over d (stacked: (L, B, d)); K's folds into q, V's into
     the accumulator — the streamed chunks pay only the int8→compute cast.
@@ -329,7 +347,14 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
     stacked = layer_idx is not None
     k4 = _norm(k, 4)
     v4 = _norm(v, 4)
-    B, d = x.shape
+    N, d = x.shape
+    G = int(kv_group)
+    # the per-query loop is unrolled — same bound/rationale as fused_attn_beam
+    assert 1 <= G <= 8, f"kv_group must be in [1, 8], got {G}"
+    assert N % G == 0, (N, G)
+    B = N // G                              # grid rows == KV batch rows
+    assert k4.shape[1] == B, (
+        f"k/v batch dim {k4.shape[1]} != x rows {N} / kv_group {G}")
     T = k4.shape[2]
     Tc = _pick_tc(T)
     n_j = T // Tc
@@ -349,7 +374,7 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
     zero_row = jnp.zeros((1, 1, d), jnp.float32)
     pos_arr = (jnp.zeros((1,), jnp.int32) if pos is None
                else jnp.asarray(pos, jnp.int32).reshape(1))
-    q_arr = jnp.zeros((B, d), jnp.float32) if q is None else q
+    q_arr = jnp.zeros((N, d), jnp.float32) if q is None else q
     lns = zero_row if ln_scale is None else _rows(_norm(ln_scale, 2))
     lnb = zero_row if ln_bias is None else _rows(_norm(ln_bias, 2))
     # unused operands shrink to a tile so they cost no VMEM/DMA
@@ -379,7 +404,7 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
         return pl.BlockSpec(shp, lambda b, j, l: (l[0],) + (0,) * (a.ndim - 1),
                             memory_space=pltpu.VMEM)
 
-    row_b = pl.BlockSpec((1, 1, d), lambda b, j, l: (b, 0, 0),
+    row_b = pl.BlockSpec((1, G, d), lambda b, j, l: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     kv_blk = pl.BlockSpec((1, 1, Tc, d), lambda b, j, l: (l[0], b, j, 0),
                           memory_space=pltpu.VMEM)
@@ -392,7 +417,7 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
                                    memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _attn_kernel, Tc=Tc, n_j=n_j, s_valid=s_valid,
+        _attn_kernel, G=G, Tc=Tc, n_j=n_j, s_valid=s_valid,
         q_in_kernel=q_in_kernel, q_scale=HEAD_DIM ** -0.5,
         quantized=quantized, wq_quant=wq_quant, wo_quant=wo_quant)
     gs = pltpu.PrefetchScalarGridSpec(
@@ -413,22 +438,23 @@ def fused_attn(x: jax.Array, k: jax.Array, v: jax.Array,
         ],
         out_specs=row_b,
         scratch_shapes=[
-            pltpu.VMEM((1, d), jnp.float32),                 # q
-            pltpu.VMEM((1, d), jnp.float32),                 # acc
-            pltpu.VMEM((1, HP), jnp.float32),                # m
-            pltpu.VMEM((1, HP), jnp.float32),                # l
+            pltpu.VMEM((G, d), jnp.float32),                 # q
+            pltpu.VMEM((G, d), jnp.float32),                 # acc
+            pltpu.VMEM((G, HP), jnp.float32),                # m
+            pltpu.VMEM((G, HP), jnp.float32),                # l
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=gs,
-        out_shape=jax.ShapeDtypeStruct((B, 1, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, G, d), x.dtype),
         compiler_params=_VMEM_LIMIT,
         interpret=interpret,
-    )(_idx_arr(layer_idx), pos_arr, q_arr[:, None, :], x[:, None, :],
+    )(_idx_arr(layer_idx), pos_arr, q_arr.reshape(B, G, d),
+      x.reshape(B, G, d),
       lns, lnb, wq3, bq3, k4, v4, ksc, vsc, m_mat, mt_mat, wo3, bo3,
       sq3, so3)
-    return out[:, 0, :]
+    return out.reshape(N, d)
 
 
 # ---------------------------------------------------------------------------

@@ -109,6 +109,49 @@ def test_fused_cross_attn_int8_dequant(keys):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_fused_cross_attn_kv_group_matches_replicated(keys):
+    """Shared-KV beam cross-attention: kv_group=G over (B, S, d) KV must
+    equal kv_group=1 over KV replicated per beam row — the grouped layout
+    only changes HOW the chunks are streamed, never the math."""
+    G = 4
+    N = B * G
+    s_valid = 300
+    x = _rand(keys[6], N, D)
+    lns, lnb = 1.0 + 0.1 * _rand(keys[7], D), 0.1 * _rand(keys[8], D)
+    wq, bq = _rand(keys[9], D, D), _rand(keys[10], D)
+    k = _rand(keys[11], B, S, D)
+    v = _rand(keys[12], B, S, D)
+    wo, bo = _rand(keys[13], D, D), _rand(keys[14], D)
+
+    out = DF.fused_attn(x, k, v, wo, bo, s_valid=s_valid,
+                        ln_scale=lns, ln_bias=lnb, wq=wq, bq=bq,
+                        kv_group=G)
+    ref = DF.fused_attn(x, jnp.repeat(k, G, axis=0), jnp.repeat(v, G, axis=0),
+                        wo, bo, s_valid=s_valid,
+                        ln_scale=lns, ln_bias=lnb, wq=wq, bq=bq)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    # and with a pre-computed query + int8 KV scales (the beam decode path)
+    q = _rand(keys[15], N, D)
+
+    def quant(a):
+        ah = a.reshape(B, S, H, HD)
+        scale = jnp.max(jnp.abs(ah), axis=(1, 3), keepdims=True) / 127.0
+        q8 = jnp.clip(jnp.round(ah / scale), -127, 127).astype(jnp.int8)
+        dense_scale = jnp.repeat(scale[:, 0, :, 0], HD, axis=-1)  # (B, D)
+        return q8.reshape(B, S, D), dense_scale
+
+    k8, ks = quant(k)
+    v8, vs = quant(v)
+    out = DF.fused_attn(x, k8, v8, wo, bo, q=q, s_valid=s_valid,
+                        k_scale=ks, v_scale=vs, kv_group=G)
+    ref = DF.fused_attn(x, jnp.repeat(k8, G, axis=0), jnp.repeat(v8, G, axis=0),
+                        wo, bo, q=q, s_valid=s_valid,
+                        k_scale=jnp.repeat(ks, G, axis=0),
+                        v_scale=jnp.repeat(vs, G, axis=0))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_fused_attn_beam_matches_xla(keys):
     """Beam self-attention over an UNPERMUTED cache: masking scores with the
     ancestry map must equal gathering each hypothesis' history rows first
