@@ -287,12 +287,14 @@ def _log(msg):
 # note — the final JSON line always appears.
 #
 # The default budget MUST exceed the sum of the matrix est_s values plus
-# headline time (currently ~700 headline + 300 + 300 + 3x700 + 2x600 =
-# 4600s) or trailing entries are silently skipped every round and
+# headline time (currently ~700 headline + 300 + 300 + 700 + 1200 + 700 +
+# 2x600 = 5100s) or trailing entries are silently skipped every round and
 # round-over-round BENCH comparability breaks (round-4 advisor finding).
+# Headroom on top of that absorbs axon remote-compile variance: the beam
+# bs16 row measured ~1300s cold (compile-dominated) in round 5.
 # Override with BENCH_BUDGET_S for a quick headline-only run
 # (BENCH_MATRIX=0 skips the matrix entirely).
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "5400"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "7200"))
 _T_START = time.monotonic()
 
 
@@ -345,7 +347,7 @@ def main():
         _measure_into(beam, "bs8", "beam-4 decode bs=8",
                       lambda: measure_decode(8, 4), est_s=700)
         _measure_into(beam, "bs16", "beam-4 decode bs=16",
-                      lambda: measure_decode(16, 4), est_s=700)
+                      lambda: measure_decode(16, 4), est_s=1200)
         _measure_into(beam, "bs8_int8", "beam-4 decode bs=8 kv+w int8",
                       lambda: measure_decode(8, 4, kv_int8=True,
                                              w_int8=True), est_s=700)
